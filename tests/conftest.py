@@ -1,0 +1,19 @@
+"""Test env: force CPU with 8 virtual devices so multi-chip sharding tests
+run without TPU hardware (SURVEY.md §4: CPU --xla_force_host_platform_device_count
+fakes for CI without TPUs).  Must run before jax is imported."""
+
+import os
+
+# Force CPU: the session env may pin JAX_PLATFORMS to a tunneled TPU
+# (e.g. "axon") via sitecustomize, which is far too slow for many small
+# unit-test programs.  The env var alone is overridden by that hook, so set
+# the jax config explicitly before any backend is touched.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,130 @@
+"""Single typed configuration tree for the whole engine.
+
+The reference scatters configuration across compile-time platform defines,
+constructor arguments and ad-hoc setters (reference CMakeLists.txt:6-16,
+HDLParser.h:101-124, INSSource.h:52).  Here everything lives in one frozen
+dataclass tree so a pipeline run is fully described by a `SlamConfig`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from veloslam_tpu import constants as C
+
+
+@dataclasses.dataclass(frozen=True)
+class SensorConfig:
+    """Which LiDAR and how to decode it.
+
+    `model` selects the timing/beam layout: "hdl32", "vlp16" or "hdl64"
+    (reference HDLParser.cxx:935-960 switches on the calibration's laser
+    count the same way).
+    """
+
+    model: str = "hdl32"
+    # Path to a Velodyne XML calibration file; None uses built-in tables.
+    calibration_path: Optional[str] = None
+    rpm: float = 600.0
+    # Crop region (x0, x1, y0, y1, z0, z1) in sensor frame; None disables.
+    # Matches the semantics of reference HDLParser.cxx:629-639.
+    crop_region: Optional[Tuple[float, float, float, float, float, float]] = None
+    crop_inside: bool = False    # True: drop inside region; False: keep inside
+    # Static bound on firings per revolution (type_defs.h:20).
+    max_firings_per_frame: int = C.MAX_FIRINGS_PER_FRAME
+
+    @property
+    def n_lasers(self) -> int:
+        return {"hdl32": 32, "vlp16": 16, "hdl64": 64}[self.model]
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Decode / motion-compensation pipeline knobs."""
+
+    # Packets per decode batch (static shape fed to the jitted decoder).
+    packets_per_batch: int = 512
+    # "se3": full SE(3) per-point de-skew. "translation": reference-parity
+    # translation-only reprojection (reference HDLParser.cxx:249-254).
+    compensation: str = "se3"
+    # Drop every (skip+1)-th firing block (reference HDLParser.cxx:1042).
+    points_skip: int = 0
+    # In-memory frame cache capacity before spilling to the host/disk tier
+    # (reference keeps 200 frames in RAM, HDLManager.h:108).
+    frame_cache_capacity: int = 200
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationConfig:
+    """Scan-to-scan and scan-to-map registration."""
+
+    voxel_size: float = 1.0
+    # Fixed voxel-table capacity per scan (static shape for jit).
+    scan_voxel_capacity: int = 8192
+    max_iterations: int = 16
+    # Levenberg damping added to the 6x6 normal equations.
+    damping: float = 1e-6
+    huber_delta: float = 0.5
+    # Reject correspondences whose point-to-plane distance exceeds this.
+    max_correspondence_dist: float = 2.0
+    # Minimum points per voxel for a valid Gaussian.
+    min_points_per_voxel: int = 4
+    # Points per scan fed to registration (subsampled, static shape).
+    max_points: int = 32768
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Patch-tiled voxel-Gaussian map (MapManager/MapPatch equivalent)."""
+
+    voxel_size: float = 1.0
+    patch_size_m: float = 100.0          # tile edge (MapPatch 'range' analog)
+    voxels_per_patch: int = 16384        # fixed capacity per patch block
+    max_resident_patches: int = 16       # HBM-resident patch budget
+    roi_range_m: float = C.ROI_RANGE_M   # reference MapManager.h:13
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Pose-graph back end."""
+
+    keyframe_translation_m: float = 2.0   # new keyframe after this motion
+    keyframe_rotation_deg: float = 10.0
+    loop_closure_radius_m: float = 15.0
+    loop_closure_min_gap: int = 50        # keyframe-index separation
+    max_keyframes: int = 1024             # static bound for jitted solver
+    gn_iterations: int = 8
+    damping: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh / sharding layout.
+
+    Axes: "data" batches scans/packets, "map" shards map patches and
+    pose-graph edges.  The reference has no distributed story (SURVEY.md
+    §2b); this is the TPU-native replacement for its thread-per-stage
+    concurrency.
+    """
+
+    data_axis: int = 1
+    map_axis: int = 1
+
+    @property
+    def n_devices(self) -> int:
+        return self.data_axis * self.map_axis
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    sensor: SensorConfig = dataclasses.field(default_factory=SensorConfig)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    registration: RegistrationConfig = dataclasses.field(
+        default_factory=RegistrationConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    graph: GraphConfig = dataclasses.field(default_factory=GraphConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
