@@ -1,0 +1,78 @@
+import numpy as np
+
+from veloslam_tpu import constants as C
+from veloslam_tpu.io import packets as pk
+from veloslam_tpu.io.pcap import PcapReader, PcapWriter, read_lidar_packets
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(1)
+    n = 7
+    az = rng.integers(0, 36000, (n, 12))
+    dist = rng.integers(0, 60000, (n, 12, 32))
+    inten = rng.integers(0, 256, (n, 12, 32))
+    gps = rng.integers(0, 3_600_000_000, n)
+    pkts = pk.encode_lidar_packets(az, dist, inten, gps)
+    dec = pk.decode_lidar_packets_np(pkts)
+    np.testing.assert_array_equal(dec["az_ticks"], az)
+    np.testing.assert_array_equal(dec["dist_raw"], dist)
+    np.testing.assert_array_equal(dec["intensity"], inten)
+    np.testing.assert_array_equal(dec["gps_us"], gps)
+    np.testing.assert_array_equal(dec["block_id"],
+                                  np.full((n, 12), C.BLOCK_ID_0_TO_31))
+
+
+def test_pcap_roundtrip(tmp_path):
+    path = str(tmp_path / "t.pcap")
+    payloads = [bytes([i]) * C.HDL_PACKET_BYTES for i in range(5)]
+    times = [1_700_000_000_000_000 + i * 100 for i in range(5)]
+    with PcapWriter(path) as w:
+        for p, t in zip(payloads, times):
+            w.write(p, t)
+    got = list(PcapReader(path))
+    assert len(got) == 5
+    for (pl, t, off), want_pl, want_t in zip(got, payloads, times):
+        assert pl == want_pl
+        assert t == want_t
+    # random access via record offset
+    with PcapReader(path) as r:
+        r.seek(got[3][2])
+        pl, t, _ = next(r)
+        assert pl == payloads[3] and t == times[3]
+
+
+def test_read_lidar_packets_filters_position_packets(tmp_path):
+    path = str(tmp_path / "t.pcap")
+    with PcapWriter(path) as w:
+        w.write(b"\x01" * C.HDL_PACKET_BYTES, 10)
+        w.write(b"\x02" * C.POSITION_PACKET_BYTES, 20)   # position packet
+        w.write(b"\x03" * C.HDL_PACKET_BYTES, 30)
+    arr, times, offsets = read_lidar_packets(path)
+    assert arr.shape == (2, C.HDL_PACKET_BYTES)
+    assert times.tolist() == [10, 30]
+
+
+def test_ins_txt_roundtrip(tmp_path):
+    path = str(tmp_path / "ins.txt")
+    n = 9
+    t_us = np.arange(n, dtype=np.int64) * 10_000 + 1_700_000_000_123_456
+    pos = np.random.default_rng(0).normal(size=(n, 2)) * 100
+    yaw = np.linspace(-3, 3, n)
+    pk.write_ins_txt(path, t_us, pos, yaw)
+    out = pk.read_ins_txt(path)
+    np.testing.assert_array_equal(out["t_us"], t_us)
+    np.testing.assert_allclose(out["pos_xy"], pos, atol=1e-5)
+    np.testing.assert_allclose(np.deg2rad(out["yaw_deg"]), yaw, atol=1e-8)
+
+
+def test_inspva_roundtrip():
+    data = pk.pack_inspva(2380, 123456, 2380, 123.456789,
+                          (31.0, 121.5, 18.9), (1.0, 2.0, 3.0),
+                          (0.1, 0.2, 0.3), 42)
+    assert len(data) == pk.INSPVA_BYTES
+    out = pk.unpack_inspva(data)
+    assert out["message_id"] == C.INS_MSG_INSPVA
+    assert out["week_number"] == 2380
+    np.testing.assert_allclose(out["llh_deg"], (31.0, 121.5, 18.9))
+    np.testing.assert_allclose(out["seconds_pos"], 123.456789)
+    assert out["ins_status"] == 42

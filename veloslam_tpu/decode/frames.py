@@ -1,0 +1,210 @@
+"""Streaming frame assembly: decoded packet batches → dense per-beam frames.
+
+A frame is one LiDAR revolution, stored as fixed-shape padded tensors
+(the TPU replacement for the reference's growable per-beam PCL vectors,
+reference HDLFrame.h:13-47 / HDLParser.cxx:570-579):
+
+    xyz       (L, MAX_F, 3) float32   L = beams, MAX_F = max points/beam
+    intensity (L, MAX_F)    float32
+    rel_s     (L, MAX_F)    float32   firing time relative to frame start
+    azimuth   (L, MAX_F)    float32   interpolated azimuth ticks (PointMeta
+                                      parity, reference type_defs.h:168-176)
+    mask      (L, MAX_F)    bool
+
+Assembly is a jitted, carry-threaded step: each call consumes one decoded
+batch plus the open-frame carry and emits up to `max_frames` completed
+frames (static slot count; `n_completed` says how many are real).  This
+replaces the reference's sequential splitFrame state machine
+(HDLParser.cxx:867-897, 1035-1039) with a parallel scan:
+wrap flags → cumsum frame ids → one scatter.
+
+Position bookkeeping per sensor model:
+  * hdl32: one block = one firing of 32 lasers → position = block index
+    within frame.
+  * hdl64: an upper (0xeeff) + lower (0xddff) block pair is one 64-laser
+    firing → position counts upper blocks only.
+  * vlp16: one block holds two 16-laser sub-firings → position =
+    2·block-index + sub-firing.
+
+Time base: `pkt_rel_s` and `carry_start_rel_s` are float32 seconds in the
+*current batch's* time base (host keeps absolute int64 µs anchors and
+rebases the carry each batch); stored `rel_s` is frame-relative, which keeps
+float32 precise (frames last ~0.1 s) and batch-invariant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from veloslam_tpu import constants as C
+from veloslam_tpu.decode.decode import DecodedBatch, frame_break_flags
+
+
+class FrameBatch(NamedTuple):
+    """`max_frames` padded frame slots (leading axis = slot)."""
+
+    xyz: jax.Array        # (S, L, MAX_F, 3)
+    intensity: jax.Array  # (S, L, MAX_F)
+    rel_s: jax.Array      # (S, L, MAX_F) — relative to the frame start
+    azimuth: jax.Array    # (S, L, MAX_F)
+    mask: jax.Array       # (S, L, MAX_F)
+    n_points: jax.Array   # (S,) int32
+
+
+class AssemblyCarry(NamedTuple):
+    """Open-frame state threaded between batches."""
+
+    xyz: jax.Array        # (L, MAX_F, 3)
+    intensity: jax.Array  # (L, MAX_F)
+    rel_s: jax.Array      # (L, MAX_F) — frame-relative
+    azimuth: jax.Array    # (L, MAX_F)
+    mask: jax.Array       # (L, MAX_F)
+    n_firings: jax.Array  # () int32 — firing positions already consumed
+    last_azimuth: jax.Array  # () int32
+
+    @staticmethod
+    def init(n_beams: int, max_firings: int = C.MAX_FIRINGS_PER_FRAME
+             ) -> "AssemblyCarry":
+        L, F = n_beams, max_firings
+        return AssemblyCarry(
+            xyz=jnp.zeros((L, F, 3), jnp.float32),
+            intensity=jnp.zeros((L, F), jnp.float32),
+            rel_s=jnp.zeros((L, F), jnp.float32),
+            azimuth=jnp.zeros((L, F), jnp.float32),
+            mask=jnp.zeros((L, F), bool),
+            n_firings=jnp.asarray(0, jnp.int32),
+            last_azimuth=jnp.asarray(-1, jnp.int32),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("model", "n_beams", "max_frames",
+                                             "max_firings"))
+def assemble_frames(decoded: DecodedBatch, xyz_world: jax.Array,
+                    pkt_rel_s: jax.Array, carry: AssemblyCarry,
+                    carry_start_rel_s: jax.Array, *, model: str,
+                    n_beams: int, max_frames: int = 8,
+                    max_firings: int = C.MAX_FIRINGS_PER_FRAME
+                    ) -> Tuple[FrameBatch, jax.Array, jax.Array,
+                               AssemblyCarry, jax.Array]:
+    """One assembly step.
+
+    Args:
+      decoded: decode_packets output, (N, 12, 32) leading shape.
+      xyz_world: compensated points (N, 12, 32, 3) (pass decoded.xyz to skip
+        compensation).
+      pkt_rel_s: (N,) packet times (float32 s, batch time base).
+      carry: open-frame state from the previous call.
+      carry_start_rel_s: () float32 — the open frame's start time expressed
+        in *this* batch's time base (ignored when carry.n_firings == 0).
+    Returns:
+      (frames: FrameBatch with max_frames slots,
+       n_completed: () int32 — valid slots (≤ max_frames; batches containing
+         more completed frames than max_frames lose the excess — size
+         max_frames for > packets·12/min-firings-per-rev),
+       start_rel_s: (max_frames,) float32 — frame start per slot, batch base,
+       new carry,
+       open_start_rel_s: () float32 — the new open frame's start, batch base).
+    """
+    lasers = C.HDL_LASERS_PER_FIRING
+    N = decoded.xyz.shape[0]
+    B = N * C.HDL_FIRINGS_PER_PACKET        # firing blocks in batch
+    L, F, S = n_beams, max_firings, max_frames
+    TRASH = S + 1                            # distinct slot for dropped writes
+    ppb = 2 if model == "vlp16" else 1       # positions per block
+
+    breaks, last_az = frame_break_flags(decoded.az_ticks, carry.last_azimuth)
+    fid = jnp.cumsum(breaks.astype(jnp.int32))          # (B,) 0..K
+    n_frames = fid[-1] + 1
+
+    # Firing-position units per block (HDL-64 pairs share one position).
+    flat_upper = decoded.is_upper.reshape(-1)
+    if model == "hdl64":
+        unit = flat_upper.astype(jnp.int32)
+    else:
+        unit = jnp.ones((B,), jnp.int32)
+    cum = jnp.cumsum(unit)                              # inclusive count
+    # Units consumed before each frame's first block.
+    seg_base = jax.ops.segment_max(
+        jnp.where(breaks, cum - unit, -1), fid, num_segments=S + 2,
+        indices_are_sorted=True)
+    base = jnp.where(fid == 0, -carry.n_firings, seg_base[jnp.minimum(fid, S + 1)])
+    pos = jnp.maximum(cum - 1 - base, 0)                # block position
+
+    # Block time (batch base) and per-frame start time.
+    rel_block = pkt_rel_s.repeat(C.HDL_FIRINGS_PER_PACKET) + \
+        decoded.dt_s[:, :, 0].reshape(-1)               # (B,)
+    seg_start = jax.ops.segment_min(rel_block, fid, num_segments=S + 2,
+                                    indices_are_sorted=True)
+    start0 = jnp.where(carry.n_firings > 0, carry_start_rel_s, seg_start[0])
+    seg_start = seg_start.at[0].set(start0)
+    frame_start = seg_start[jnp.minimum(fid, S + 1)]    # (B,)
+
+    # Per-point scatter indices: (slot, laser, position).
+    slot_b = jnp.minimum(fid, TRASH)
+    pos_pt = (pos[:, None] * ppb
+              + decoded.subfiring.reshape(B, lasers))   # (B, 32)
+    valid_pt = decoded.valid.reshape(B, lasers)
+    ok = valid_pt & (pos_pt < F)
+    sl = jnp.where(ok, slot_b[:, None], TRASH)
+    pp = jnp.where(ok, jnp.minimum(pos_pt, F - 1), F - 1)
+    lp = jnp.clip(decoded.laser_id.reshape(B, lasers), 0, L - 1)
+    idx = (sl, lp, pp)
+
+    def init_buf(carry_arr, extra=()):
+        buf = jnp.zeros((S + 2, L, F, *extra), carry_arr.dtype)
+        return buf.at[0].set(carry_arr)
+
+    rel_pt = (rel_block[:, None] + (decoded.dt_s.reshape(B, lasers)
+                                    - decoded.dt_s[:, :, :1].reshape(B, 1)))
+    rel_frame_pt = rel_pt - frame_start[:, None]        # frame-relative
+
+    xyz_buf = init_buf(carry.xyz, (3,)).at[idx].set(
+        xyz_world.reshape(B, lasers, 3), mode="drop")
+    int_buf = init_buf(carry.intensity).at[idx].set(
+        decoded.intensity.reshape(B, lasers), mode="drop")
+    rel_buf = init_buf(carry.rel_s).at[idx].set(rel_frame_pt, mode="drop")
+    az_buf = init_buf(carry.azimuth).at[idx].set(
+        decoded.az_pt_ticks.reshape(B, lasers), mode="drop")
+    mask_buf = init_buf(carry.mask).at[idx].set(
+        jnp.ones_like(ok), mode="drop")
+    # Clear anything that landed in the trash slot's real rows.
+    mask_buf = mask_buf.at[TRASH].set(False)
+
+    # Per-slot bookkeeping.
+    units_per_frame = jax.ops.segment_sum(unit, fid, num_segments=S + 2,
+                                          indices_are_sorted=True)
+    units_per_frame = units_per_frame.at[0].add(carry.n_firings)
+
+    n_completed = jnp.minimum(n_frames - 1, S)
+    open_slot = n_completed
+
+    mask_out = mask_buf[:S]
+    frames = FrameBatch(
+        xyz=xyz_buf[:S], intensity=int_buf[:S], rel_s=rel_buf[:S],
+        azimuth=az_buf[:S], mask=mask_out,
+        n_points=mask_out.sum(axis=(1, 2)).astype(jnp.int32))
+
+    def take_open(buf):
+        return jax.lax.dynamic_index_in_dim(buf, open_slot, 0, keepdims=False)
+
+    new_carry = AssemblyCarry(
+        xyz=take_open(xyz_buf), intensity=take_open(int_buf),
+        rel_s=take_open(rel_buf), azimuth=take_open(az_buf),
+        mask=take_open(mask_buf),
+        n_firings=jax.lax.dynamic_index_in_dim(
+            units_per_frame, open_slot, 0, keepdims=False),
+        last_azimuth=last_az)
+
+    open_start = jax.lax.dynamic_index_in_dim(seg_start, open_slot, 0,
+                                              keepdims=False)
+    return frames, n_completed, seg_start[:S], new_carry, open_start
+
+
+def frame_points(frame_xyz: jax.Array, frame_mask: jax.Array
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Flatten a frame's (L, MAX_F, 3)+mask into (L·MAX_F, 3)+mask."""
+    return frame_xyz.reshape(-1, 3), frame_mask.reshape(-1)
