@@ -70,6 +70,9 @@ class RegistrationConfig:
     max_correspondence_dist: float = 2.0
     # Minimum points per voxel for a valid Gaussian.
     min_points_per_voxel: int = 4
+    # Planarity gate (λ2−λ3)/λ1 for point-to-plane voxels (rejects
+    # line-like scan-ring voxels whose normals bias registration).
+    min_planarity: float = 0.35
     # Points per scan fed to registration (subsampled, static shape).
     max_points: int = 32768
 

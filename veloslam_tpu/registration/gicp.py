@@ -1,0 +1,136 @@
+"""Voxelized point-to-plane ICP (VGICP-style) — scan-to-scan odometry.
+
+Supplies the registration capability the reference leaves unimplemented
+(reference README.md:25-26: "SLAM algorithm" not implemented; SURVEY.md §0),
+designed TPU-first:
+
+  * the target scan is summarized once as a voxel-Gaussian grid
+    (registration.voxel) with a per-voxel plane normal from the closed-form
+    smallest eigenvector;
+  * each Gauss-Newton iteration is: transform points → pack keys → binary
+    search → gather (μ, n) → point-to-plane residual r = nᵀ(p′ − μ) with
+    Huber weights → 6×6 normal equations via two einsums (a (6, P)·(P, 6)
+    matmul — MXU work) → solve → retract;
+  * fixed iteration count under `lax.fori_loop`, no data-dependent Python
+    control flow, everything static-shaped and jittable.
+
+The same step function is reused by the distributed path (normal equations
+are psum-reduced across map shards, veloslam_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from veloslam_tpu.core import se3
+from veloslam_tpu.registration import voxel as vx
+
+
+class GicpResult(NamedTuple):
+    pose: se3.Pose          # target-frame pose of the source scan
+    n_matched: jax.Array    # () int32 — correspondences in the last iter
+    mean_error: jax.Array   # () float32 — mean |point-to-plane| residual
+    iterations: jax.Array   # () int32
+
+
+class PlaneGrid(NamedTuple):
+    """VoxelGrid augmented with per-voxel unit normals + validity."""
+
+    grid: vx.VoxelGrid
+    normal: jax.Array       # (V, 3)
+    usable: jax.Array       # (V,) bool — enough points for a stable plane
+
+
+def build_plane_grid(pts: jax.Array, mask: jax.Array, origin, voxel_size, *,
+                     capacity: int, min_points: int = 4,
+                     min_planarity: float = 0.35) -> PlaneGrid:
+    """Summarize a scan as per-voxel planes with planarity gating.
+
+    `min_planarity` rejects voxels whose covariance is not plane-like
+    (planarity = (λ2 − λ3)/λ1).  This matters for sparse LiDAR scans: a far
+    ground voxel often contains a single scan-ring arc — a 1-D feature whose
+    "smallest eigenvector" points radially, not up.  Ring features translate
+    with the sensor, so matching them drags registration along the motion
+    direction; gating them out removes that bias.
+    """
+    grid = vx.build_grid(pts, mask, jnp.asarray(origin, jnp.float32),
+                         voxel_size, capacity=capacity)
+    normal = vx.smallest_eigenvector(grid.cov)
+    l1, l2, l3 = vx.eigvals3(grid.cov)
+    planarity = (l2 - l3) / jnp.maximum(l1, 1e-12)
+    usable = (grid.occupied & (grid.count >= min_points)
+              & (planarity >= min_planarity))
+    return PlaneGrid(grid=grid, normal=normal, usable=usable)
+
+
+def normal_equations(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
+                     target: PlaneGrid, *, huber_delta: float = 0.5,
+                     max_dist: float = 2.0):
+    """One linearization: (H (6,6), b (6,), err (), n_matched ()).
+
+    Residual r = nᵀ(p′ − μ); left-perturbation Jacobian J = [(p′ × n)ᵀ, nᵀ].
+    """
+    g = target.grid
+    p = se3.apply(pose, pts)
+    idx = vx.lookup_nearest(g, p, mask, target.usable)
+    hit = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    mu = g.mean[safe]
+    n = target.normal[safe]
+    r = jnp.sum(n * (p - mu), axis=-1)
+    hit &= jnp.abs(r) < max_dist
+    # Huber influence weights.
+    absr = jnp.abs(r)
+    w = jnp.where(absr <= huber_delta, 1.0,
+                  huber_delta / jnp.maximum(absr, 1e-12))
+    w = jnp.where(hit, w, 0.0)
+
+    J = jnp.concatenate([jnp.cross(p, n), n], axis=-1)       # (P, 6)
+    Jw = J * w[:, None]
+    H = jnp.einsum("pi,pj->ij", Jw, J)                       # MXU
+    b = jnp.einsum("pi,p->i", Jw, r)
+    err = jnp.sum(jnp.abs(r) * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return H, b, err, hit.sum().astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
+             init_pose: se3.Pose, *, iterations: int = 16,
+             damping: float = 1e-6, huber_delta: float = 0.5,
+             max_dist: float = 2.0) -> GicpResult:
+    """Gauss-Newton point-to-plane registration of a source scan against a
+    target plane grid.  Fixed iteration count (static shapes); convergence
+    is reflected in `mean_error`, not in early exit."""
+
+    def body(_, state):
+        pose, _, _ = state
+        H, b, err, n_hit = normal_equations(
+            pts, mask, pose, target, huber_delta=huber_delta,
+            max_dist=max_dist)
+        Hd = H + damping * jnp.eye(6, dtype=H.dtype) \
+            + 1e-6 * jnp.trace(H) * jnp.eye(6, dtype=H.dtype)
+        delta = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Hd), b)
+        # Guard against degenerate geometry blowing up the step: reject
+        # non-finite solves and clamp per-iteration step length (runaway
+        # steps larger than a voxel mean the linearization left its basin).
+        ok = jnp.all(jnp.isfinite(delta)) & (n_hit > 10)
+        delta = jnp.where(ok, delta, 0.0)
+        tn = jnp.linalg.norm(delta[3:])
+        rn = jnp.linalg.norm(delta[:3])
+        scale = jnp.minimum(1.0, jnp.minimum(
+            1.0 / jnp.maximum(tn, 1e-12),
+            0.3 / jnp.maximum(rn, 1e-12)))
+        delta = delta * jnp.minimum(scale, 1.0)
+        return se3.retract(pose, delta), err, n_hit
+
+    pose, err, n_hit = jax.lax.fori_loop(
+        0, iterations, body,
+        (init_pose, jnp.asarray(jnp.inf, jnp.float32),
+         jnp.asarray(0, jnp.int32)))
+    return GicpResult(pose=pose, n_matched=n_hit, mean_error=err,
+                      iterations=jnp.asarray(iterations, jnp.int32))

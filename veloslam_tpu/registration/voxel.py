@@ -1,0 +1,322 @@
+"""Device voxel statistics grids — the TPU substitute for kd-trees.
+
+The reference never implements correspondence search (its map layer is
+data-structures-only, SURVEY.md §0); classic CPU SLAM uses kd-trees, which
+do not map to TPU.  Instead, scans and maps are summarized as voxel
+Gaussians (count / mean / covariance per occupied voxel) built with a
+sort + segment-reduce — fully batched, static shapes — and queried by
+binary search over sorted packed keys.  This is the standard voxelized-GICP
+/ NDT data structure, built the XLA-friendly way.
+
+Key packing: quantized (x, y, z) voxel coordinates are offset into
+[0, 2^bits) and packed into one int32 (default 10 bits per axis → ±512
+voxels around the origin).  Out-of-range points are dropped via a sentinel
+key that sorts last.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INVALID_KEY = jnp.int32(2**31 - 1)
+
+
+class VoxelGrid(NamedTuple):
+    """Fixed-capacity voxel-Gaussian table, sorted by packed key.
+
+    Padding rows have key == INVALID_KEY and count == 0.
+    """
+
+    keys: jax.Array       # (V,) int32, sorted ascending
+    count: jax.Array      # (V,) float32
+    mean: jax.Array       # (V, 3) float32
+    cov: jax.Array        # (V, 3, 3) float32 (population covariance)
+    origin: jax.Array     # (3,) float32 — key-space origin (world coords)
+    voxel_size: jax.Array  # () float32
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def occupied(self) -> jax.Array:
+        return self.keys != INVALID_KEY
+
+
+def pack_keys(pts: jax.Array, mask: jax.Array, origin: jax.Array,
+              voxel_size: jax.Array, bits: int = 10) -> jax.Array:
+    """Points (..., 3) → packed int32 voxel keys; masked/out-of-range →
+    INVALID_KEY."""
+    half = 2 ** (bits - 1)
+    g = jnp.floor((pts - origin) / voxel_size).astype(jnp.int32) + half
+    in_range = jnp.all((g >= 0) & (g < 2 ** bits), axis=-1)
+    key = (g[..., 0] << (2 * bits)) | (g[..., 1] << bits) | g[..., 2]
+    return jnp.where(mask & in_range, key, INVALID_KEY)
+
+
+def unpack_keys(keys: jax.Array, origin: jax.Array, voxel_size: jax.Array,
+                bits: int = 10) -> jax.Array:
+    """Packed keys → voxel center coordinates (..., 3)."""
+    half = 2 ** (bits - 1)
+    mask_axis = (1 << bits) - 1
+    gx = (keys >> (2 * bits)) & mask_axis
+    gy = (keys >> bits) & mask_axis
+    gz = keys & mask_axis
+    g = jnp.stack([gx, gy, gz], -1).astype(jnp.float32) - half
+    return origin + (g + 0.5) * voxel_size
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "bits"))
+def build_grid(pts: jax.Array, mask: jax.Array, origin: jax.Array,
+               voxel_size, *, capacity: int, bits: int = 10) -> VoxelGrid:
+    """Build a voxel-Gaussian grid from (P, 3) points + validity mask.
+
+    Sort by key → segment boundaries → segment-reduce count/sum/outer.
+    Voxels beyond `capacity` (in key order) are dropped; size capacity for
+    the expected occupied-voxel count (≈ a few thousand per LiDAR scan at
+    1 m voxels).
+    """
+    voxel_size = jnp.asarray(voxel_size, jnp.float32)
+    origin = jnp.asarray(origin, jnp.float32)
+    keys = pack_keys(pts, mask, origin, voxel_size, bits)
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    valid = sk != INVALID_KEY
+    # Accumulate moments relative to each point's own voxel center: keeps
+    # float32 covariances well-conditioned at map-scale coordinates
+    # (E[x²]−E[x]² on ~100 m values loses ~all cov precision in fp32).
+    centers = unpack_keys(sk, origin, voxel_size, bits)
+    sp = pts[order] - centers
+
+    new_seg = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]]) & valid
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1       # (P,) 0-based
+    seg_id = jnp.where(valid, jnp.minimum(seg_id, capacity), capacity)
+
+    w = valid.astype(jnp.float32)
+    count = jax.ops.segment_sum(w, seg_id, num_segments=capacity + 1)
+    s1 = jax.ops.segment_sum(sp * w[:, None], seg_id,
+                             num_segments=capacity + 1)
+    outer = sp[:, :, None] * sp[:, None, :] * w[:, None, None]
+    s2 = jax.ops.segment_sum(outer, seg_id, num_segments=capacity + 1)
+    seg_keys = jax.ops.segment_min(jnp.where(valid, sk, INVALID_KEY), seg_id,
+                                   num_segments=capacity + 1)
+
+    count = count[:capacity]
+    seg_keys = seg_keys[:capacity].astype(jnp.int32)
+    denom = jnp.maximum(count, 1.0)[:, None]
+    mean_rel = s1[:capacity] / denom
+    cov = s2[:capacity] / denom[..., None] \
+        - mean_rel[:, :, None] * mean_rel[:, None, :]
+    mean = mean_rel + unpack_keys(seg_keys, origin, voxel_size, bits)
+    return VoxelGrid(keys=seg_keys, count=count, mean=mean, cov=cov,
+                     origin=origin, voxel_size=voxel_size)
+
+
+def lookup(grid: VoxelGrid, query_keys: jax.Array) -> jax.Array:
+    """Indices of query keys in the grid (−1 where absent).  O(log V)
+    batched binary search — replaces pointer-chasing tree lookups."""
+    idx = jnp.searchsorted(grid.keys, query_keys)
+    idx = jnp.clip(idx, 0, grid.capacity - 1)
+    hit = grid.keys[idx] == query_keys
+    return jnp.where(hit & (query_keys != INVALID_KEY), idx, -1)
+
+
+def lookup_nearest(grid: VoxelGrid, pts: jax.Array, mask: jax.Array,
+                   usable: jax.Array, bits: int = 10) -> jax.Array:
+    """Index of the nearest usable voxel Gaussian among a point's own voxel
+    and its 6 face neighbors (−1 if none).
+
+    Querying only the containing voxel (plain VGICP) loses correspondences
+    for points near voxel boundaries — catastrophically so for planar
+    structure aligned with the grid.  Seven batched binary searches +
+    a mean-distance argmin fix that while staying gather-only (no trees).
+    Key-space wrap-around at the ±2^(bits-1) grid edge can alias a distant
+    voxel; the distance argmin and the caller's residual gating make such
+    aliases harmless.
+    """
+    keys = pack_keys(pts, mask, grid.origin, grid.voxel_size, bits)
+    offsets = jnp.asarray([0, 1, -1, 1 << bits, -(1 << bits),
+                           1 << (2 * bits), -(1 << (2 * bits))], jnp.int32)
+    cand = jnp.where((keys == INVALID_KEY)[None, :], INVALID_KEY,
+                     keys[None, :] + offsets[:, None])       # (7, P)
+    idx7 = jax.vmap(lambda k: lookup(grid, k))(cand)         # (7, P)
+    ok7 = (idx7 >= 0) & usable[jnp.maximum(idx7, 0)]
+    mu7 = grid.mean[jnp.maximum(idx7, 0)]                    # (7, P, 3)
+    d2 = jnp.sum((pts[None] - mu7) ** 2, axis=-1)
+    d2 = jnp.where(ok7, d2, jnp.inf)
+    best = jnp.argmin(d2, axis=0)                            # (P,)
+    idx = jnp.take_along_axis(idx7, best[None], axis=0)[0]
+    any_ok = jnp.any(ok7, axis=0)
+    return jnp.where(any_ok, idx, -1)
+
+
+def merge_stats(grid: VoxelGrid, other: VoxelGrid, *,
+                capacity: int) -> VoxelGrid:
+    """Merge two grids' sufficient statistics into a new grid of the given
+    capacity (used by the incremental map, see veloslam_tpu.map)."""
+    def moments(g: VoxelGrid):
+        # Voxel-center-relative moments (same conditioning trick as
+        # build_grid); padding rows contribute zero via count == 0.
+        c = g.count[:, None]
+        m_rel = g.mean - unpack_keys(g.keys, g.origin, g.voxel_size)
+        s1 = m_rel * c
+        s2 = (g.cov + m_rel[:, :, None] * m_rel[:, None, :]) * c[..., None]
+        return s1, s2
+
+    s1a, s2a = moments(grid)
+    s1b, s2b = moments(other)
+    keys = jnp.concatenate([grid.keys, other.keys])
+    count = jnp.concatenate([grid.count, other.count])
+    s1 = jnp.concatenate([s1a, s1b])
+    s2 = jnp.concatenate([s2a, s2b])
+
+    order = jnp.argsort(keys)
+    sk = keys[order]
+    valid = sk != INVALID_KEY
+    new_seg = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]]) & valid
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    seg_id = jnp.where(valid, jnp.minimum(seg_id, capacity), capacity)
+
+    cnt = jax.ops.segment_sum(count[order], seg_id,
+                              num_segments=capacity + 1)[:capacity]
+    s1m = jax.ops.segment_sum(s1[order], seg_id,
+                              num_segments=capacity + 1)[:capacity]
+    s2m = jax.ops.segment_sum(s2[order], seg_id,
+                              num_segments=capacity + 1)[:capacity]
+    seg_keys = jax.ops.segment_min(
+        jnp.where(valid, sk, INVALID_KEY), seg_id,
+        num_segments=capacity + 1)[:capacity]
+    seg_keys = seg_keys.astype(jnp.int32)
+    denom = jnp.maximum(cnt, 1.0)[:, None]
+    mean_rel = s1m / denom
+    cov = s2m / denom[..., None] - mean_rel[:, :, None] * mean_rel[:, None, :]
+    mean = mean_rel + unpack_keys(seg_keys, grid.origin, grid.voxel_size)
+    return VoxelGrid(keys=seg_keys, count=cnt, mean=mean,
+                     cov=cov, origin=grid.origin, voxel_size=grid.voxel_size)
+
+
+# --- closed-form 3x3 symmetric eigen-analysis --------------------------------
+
+def eigvals3(cov: jax.Array, eps: float = 1e-12):
+    """Cardano eigenvalues of batched symmetric (..., 3, 3), descending
+    (λ1 ≥ λ2 ≥ λ3)."""
+    a = cov
+    q = jnp.trace(a, axis1=-2, axis2=-1) / 3.0
+    b = a - q[..., None, None] * jnp.eye(3, dtype=cov.dtype)
+    p2 = jnp.sum(b * b, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, eps * eps))
+    r = jnp.clip(jnp.linalg.det(b) / (2.0 * p ** 3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    l1 = q + 2.0 * p * jnp.cos(phi)
+    l3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    l2 = 3.0 * q - l1 - l3
+    return l1, l2, l3
+
+
+def _nullspace_dir(c: jax.Array) -> jax.Array:
+    """Largest row-cross-product of (..., 3, 3) — approximate null direction
+    (unnormalized)."""
+    r0, r1, r2 = c[..., 0, :], c[..., 1, :], c[..., 2, :]
+    cands = jnp.stack([jnp.cross(r0, r1), jnp.cross(r0, r2),
+                       jnp.cross(r1, r2)], axis=-2)
+    norms = jnp.linalg.norm(cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    return jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1),
+                               axis=-2)[..., 0, :]
+
+
+def clamped_inverse(cov: jax.Array, floor_ratio: float = 0.01,
+                    eps: float = 1e-9) -> jax.Array:
+    """Eigenvalue-clamped inverse for NDT weighting (Magnusson-style
+    conditioning): W = Σᵢ vᵢvᵢᵀ / max(λᵢ, floor_ratio·λ₁).
+
+    Caps the condition number at 1/floor_ratio so pancake voxels weight
+    their normal direction ~1/floor_ratio× stronger than in-plane — strong
+    surface attraction without the centroid-pull bias of scalar Tikhonov
+    regularization.  Fully closed-form; degenerate spectra (λ1≈λ2 or
+    λ2≈λ3) are safe because equal clamped eigenvalues make the ill-defined
+    eigenvector directions irrelevant to the reconstructed W.
+    """
+    ident = jnp.eye(3, dtype=cov.dtype)
+    l1, l2, l3 = eigvals3(cov)
+    l1 = jnp.maximum(l1, eps)
+    v3 = smallest_eigenvector(cov)
+    v1 = _nullspace_dir(cov - l1[..., None, None] * ident)
+    # Orthogonalize v1 against v3; fall back to any perpendicular.
+    v1 = v1 - jnp.sum(v1 * v3, -1, keepdims=True) * v3
+    n1 = jnp.linalg.norm(v1, axis=-1, keepdims=True)
+    alt = jnp.cross(v3, jnp.where(
+        jnp.abs(v3[..., :1]) < 0.9,
+        jnp.broadcast_to(jnp.array([1.0, 0, 0], cov.dtype), v3.shape),
+        jnp.broadcast_to(jnp.array([0, 1.0, 0], cov.dtype), v3.shape)))
+    alt = alt / jnp.linalg.norm(alt, axis=-1, keepdims=True)
+    v1 = jnp.where(n1 > 1e-12, v1 / jnp.maximum(n1, 1e-12), alt)
+    v2 = jnp.cross(v3, v1)
+
+    floor = floor_ratio * l1
+    w1 = 1.0 / jnp.maximum(l1, floor)
+    w2 = 1.0 / jnp.maximum(l2, floor)
+    w3 = 1.0 / jnp.maximum(l3, floor)
+
+    def op(v, w):
+        return w[..., None, None] * v[..., :, None] * v[..., None, :]
+
+    return op(v1, w1) + op(v2, w2) + op(v3, w3)
+
+
+def smallest_eigenvector(cov: jax.Array, eps: float = 1e-9) -> jax.Array:
+    """Unit eigenvector of the smallest eigenvalue for batched symmetric
+    (..., 3, 3) matrices — the plane normal of a voxel Gaussian.
+
+    Closed-form (Cardano eigenvalues + cross-product eigenvectors): avoids
+    batched jnp.linalg.eigh, which lowers poorly on TPU for many small
+    problems.
+    """
+    a = cov + eps * jnp.eye(3, dtype=cov.dtype)
+    q = jnp.trace(a, axis1=-2, axis2=-1) / 3.0
+    b = a - q[..., None, None] * jnp.eye(3, dtype=cov.dtype)
+    p2 = jnp.sum(b * b, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detb = jnp.linalg.det(b)
+    r = jnp.clip(detb / (2.0 * p ** 3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # Eigenvalues: q + 2p cos(phi + 2πk/3); smallest at k=1 (phi + 2π/3).
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    c = a - lam_min[..., None, None] * jnp.eye(3, dtype=cov.dtype)
+    # Null-space direction: the largest cross product of two rows of c.
+    r0, r1, r2 = c[..., 0, :], c[..., 1, :], c[..., 2, :]
+    cands = jnp.stack([jnp.cross(r0, r1), jnp.cross(r0, r2),
+                       jnp.cross(r1, r2)], axis=-2)
+    norms = jnp.linalg.norm(cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None].repeat(3, -1),
+                            axis=-2)[..., 0, :]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # Degenerate (isotropic) voxels: fall back to +z.
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], cov.dtype),
+                                v.shape)
+    v = jnp.where(n > 1e-12, v / jnp.maximum(n, 1e-12), fallback)
+    return v
+
+
+def regularized_inverse(cov: jax.Array, eps: float = 1e-3) -> jax.Array:
+    """Batched (Σ + εI)⁻¹ for (..., 3, 3) via the closed-form adjugate."""
+    a = cov + eps * jnp.eye(3, dtype=cov.dtype)
+    det = jnp.linalg.det(a)
+    adj = jnp.stack([
+        a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1],
+        a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2],
+        a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1],
+        a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2],
+        a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0],
+        a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2],
+        a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0],
+        a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1],
+        a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0],
+    ], axis=-1).reshape(*a.shape)
+    return adj / det[..., None, None]
