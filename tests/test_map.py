@@ -1,0 +1,165 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from veloslam_tpu.config import MapConfig
+from veloslam_tpu.core import se3
+from veloslam_tpu.io import simulate as sim
+from veloslam_tpu.map.landmarks import extract_landmarks
+from veloslam_tpu.map.voxelmap import VoxelMap
+from veloslam_tpu.registration import gicp
+from veloslam_tpu.registration import voxel as vx
+
+from test_registration import _static_scan, _pad  # noqa: E402
+
+
+def _world_scan(world, pos, yaw, **kw):
+    pts_s = _static_scan(world, np.asarray(pos, float), yaw, **kw)
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    return (pts_s @ R.T + pos).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def world():
+    return sim.World.demo(seed=7, n_posts=20, n_walls=8)
+
+
+def test_patch_tiling_and_accessors():
+    m = VoxelMap(MapConfig(patch_size_m=100.0))
+    assert m.patch_index(0.0, 0.0) == (0, 0)
+    assert m.patch_index(-0.1, 250.0) == (-1, 2)
+    assert m.find_patch(5.0, 5.0) is None
+    p = m.get_patch(5.0, 5.0)
+    assert p is not None and m.find_patch(5.0, 5.0) is p
+    assert m.n_patches == 1
+
+
+def test_integrate_and_roi_roundtrip(world):
+    m = VoxelMap(MapConfig(voxel_size=1.0, voxels_per_patch=16384))
+    pts = _world_scan(world, [0.0, 0.0, 2.0], 0.0)
+    mask = np.ones(len(pts), bool)
+    m.integrate_points(pts, mask, center=np.zeros(3))
+    assert m.n_patches >= 1
+    grid = m.roi_grid(0.0, 0.0)
+    assert grid is not None
+    occ = int(np.asarray(grid.occupied).sum())
+    assert occ > 500
+    # voxel means should coincide with a directly-built grid
+    direct = vx.build_grid(jnp.asarray(pts), jnp.asarray(mask),
+                           jnp.zeros(3), 1.0, capacity=16384)
+    occ_d = np.asarray(direct.occupied)
+    means_d = np.asarray(direct.mean)[occ_d]
+    means_r = np.asarray(grid.mean)[np.asarray(grid.occupied)]
+    # compare via sorted lexicographic order
+    def key(a):
+        return np.lexsort((a[:, 2], a[:, 1], a[:, 0]))
+    roi_r = means_r[np.abs(means_r[:, 0]) <= 100]
+    roi_r = roi_r[np.abs(roi_r[:, 1]) <= 100]
+    md = means_d[key(means_d)]
+    mr = roi_r[key(roi_r)]
+    assert len(md) == len(mr)
+    np.testing.assert_allclose(md, mr, atol=1e-4)
+
+
+def test_incremental_integration_consistency(world):
+    """Integrating two scans separately must equal integrating their
+    union (sufficient statistics are exact under merge)."""
+    a = _world_scan(world, [0.0, 0.0, 2.0], 0.0)
+    b = _world_scan(world, [2.0, 1.0, 2.0], 0.2)
+    m1 = VoxelMap(MapConfig())
+    m1.integrate_points(a, np.ones(len(a), bool), np.zeros(3))
+    m1.integrate_points(b, np.ones(len(b), bool), np.zeros(3))
+    m2 = VoxelMap(MapConfig())
+    u = np.concatenate([a, b])
+    m2.integrate_points(u, np.ones(len(u), bool), np.zeros(3))
+    g1, g2 = m1.roi_grid(0, 0), m2.roi_grid(0, 0)
+    o1, o2 = np.asarray(g1.occupied), np.asarray(g2.occupied)
+    assert o1.sum() == o2.sum()
+    k1 = np.sort(np.asarray(g1.keys)[o1])
+    k2 = np.sort(np.asarray(g2.keys)[o2])
+    np.testing.assert_array_equal(k1, k2)
+    # counts per key must match
+    i1 = np.argsort(np.asarray(g1.keys)[o1])
+    i2 = np.argsort(np.asarray(g2.keys)[o2])
+    np.testing.assert_allclose(np.asarray(g1.count)[o1][i1],
+                               np.asarray(g2.count)[o2][i2], rtol=1e-6)
+
+
+def test_spill_and_reload(tmp_path, world):
+    cfg = MapConfig(max_resident_patches=2, patch_size_m=50.0)
+    m = VoxelMap(cfg, spill_dir=str(tmp_path / "spill"))
+    pts = _world_scan(world, [0.0, 0.0, 2.0], 0.0)
+    m.integrate_points(pts, np.ones(len(pts), bool), np.zeros(3))
+    total = m.n_patches
+    assert total > 2                       # forced eviction happened
+    assert len(m._patches) <= 2
+    # ROI query transparently reloads spilled patches
+    grid = m.roi_grid(0.0, 0.0)
+    assert grid is not None
+    assert int(np.asarray(grid.occupied).sum()) > 500
+
+
+def test_map_save_load_roundtrip(tmp_path, world):
+    m = VoxelMap(MapConfig())
+    pts = _world_scan(world, [0.0, 0.0, 2.0], 0.0)
+    m.integrate_points(pts, np.ones(len(pts), bool), np.zeros(3))
+    m.save(str(tmp_path / "map"))
+    m2 = VoxelMap.load(str(tmp_path / "map"))
+    assert m2.n_patches == m.n_patches
+    g1, g2 = m.roi_grid(0, 0), m2.roi_grid(0, 0)
+    np.testing.assert_array_equal(np.asarray(g1.keys), np.asarray(g2.keys))
+    np.testing.assert_allclose(np.asarray(g1.mean), np.asarray(g2.mean),
+                               atol=1e-6)
+
+
+def test_scan_to_map_via_voxelmap(world):
+    """The full configs[2] flow through the map layer: integrate keyframes,
+    assemble ROI, NDT-localize a new scan."""
+    m = VoxelMap(MapConfig())
+    for pos, yaw in [([0, 0, 2.0], 0.0), ([1.5, 0.8, 2.0], 0.1),
+                     ([-1.0, 1.2, 2.0], -0.15)]:
+        pts = _world_scan(world, pos, yaw)
+        m.integrate_points(pts, np.ones(len(pts), bool), np.zeros(3))
+    grid = m.roi_grid(0.5, 0.5)
+    target = gicp.plane_grid_from(grid)
+    true_t = np.array([0.4, 0.7, 2.02], np.float32)
+    yaw_gt = 0.05
+    src = _static_scan(world, true_t, yaw_gt)
+    sp, sm = _pad(src, 32768)
+    init = se3.Pose(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                    jnp.asarray([0.3, 0.5, 1.9], jnp.float32))
+    res = gicp.register(sp, sm, target, init, iterations=25)
+    np.testing.assert_allclose(np.asarray(res.pose.t), true_t, atol=0.05)
+    np.testing.assert_allclose(float(se3.quat_log(res.pose.q)[2]), yaw_gt,
+                               atol=0.005)
+
+
+def test_landmark_extraction(world):
+    m = VoxelMap(MapConfig(voxel_size=0.5))
+    # dense multi-view sampling of the world for stable voxel stats
+    for pos, yaw in [([0, 0, 2.0], 0.0), ([3, 2, 2.0], 0.5),
+                     ([-3, 3, 2.0], -0.8)]:
+        pts = _world_scan(world, pos, yaw, n_az=1800)
+        m.integrate_points(pts, np.ones(len(pts), bool), np.zeros(3))
+    found_posts = []
+    for key in list(m._patches):
+        patch = m._patches[key]
+        lm = extract_landmarks(patch, 0.5)
+        if len(lm.posts):
+            found_posts.append(lm.posts)
+    assert found_posts, "no posts extracted"
+    posts = np.concatenate(found_posts)
+    # every extracted post should be near a true world post
+    true_xy = world.posts[:, :2]
+    d = np.min(np.linalg.norm(posts[:, None, :2] - true_xy[None], axis=2),
+               axis=1)
+    # single-sided sampling biases the column mean toward the sensor by up
+    # to one radius (≤ 0.5 m) — compare against the post surface
+    assert np.median(d) < 0.8
+    # and at least a few distinct true posts detected
+    # this world has only 3 true posts within 40 m of the scan poses;
+    # detecting ≥ 2 distinct ones is full marks for range-limited sampling
+    matched = np.unique(np.argmin(
+        np.linalg.norm(posts[:, None, :2] - true_xy[None], axis=2), axis=1))
+    assert len(matched) >= 2

@@ -45,6 +45,18 @@ class PlaneGrid(NamedTuple):
     usable: jax.Array       # (V,) bool — enough points for a stable plane
 
 
+def plane_grid_from(grid: vx.VoxelGrid, *, min_points: int = 4,
+                    min_planarity: float = 0.35) -> PlaneGrid:
+    """Derive a point-to-plane target from an existing VoxelGrid (e.g. a
+    map ROI from veloslam_tpu.map) — enables scan-to-map GICP."""
+    normal = vx.smallest_eigenvector(grid.cov)
+    l1, l2, l3 = vx.eigvals3(grid.cov)
+    planarity = (l2 - l3) / jnp.maximum(l1, 1e-12)
+    usable = (grid.occupied & (grid.count >= min_points)
+              & (planarity >= min_planarity))
+    return PlaneGrid(grid=grid, normal=normal, usable=usable)
+
+
 def build_plane_grid(pts: jax.Array, mask: jax.Array, origin, voxel_size, *,
                      capacity: int, min_points: int = 4,
                      min_planarity: float = 0.35) -> PlaneGrid:
