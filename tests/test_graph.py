@@ -1,0 +1,147 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from veloslam_tpu.core import se3
+from veloslam_tpu.graph import loopclosure, optimize
+from veloslam_tpu.graph.posegraph import PoseGraph, relative_pose_measurement
+
+
+def _noisy_circle_graph(rng, n=32, drift=0.02, yaw_drift=0.005,
+                        max_poses=64, max_edges=128):
+    """Ground-truth circle; odometry edges with accumulating noise; returns
+    (graph seeded with drifted estimates, true poses)."""
+    radius, step = 20.0, 2 * np.pi / n
+    true = []
+    for k in range(n):
+        ang = k * step
+        t = np.array([radius * np.sin(ang), radius * (1 - np.cos(ang)), 0.0])
+        q = np.asarray(se3.quat_exp(jnp.asarray([0.0, 0.0, ang])))
+        true.append(se3.Pose(jnp.asarray(q, jnp.float32),
+                             jnp.asarray(t, jnp.float32)))
+
+    g = PoseGraph(max_poses=max_poses, max_edges=max_edges)
+    est = se3.Pose(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                   jnp.zeros(3, jnp.float32))
+    g.add_pose(np.asarray(est.q), np.asarray(est.t))
+    for k in range(1, n):
+        rel_q, rel_t = relative_pose_measurement(true[k - 1], true[k])
+        noisy_t = rel_t + rng.normal(0, drift, 3).astype(np.float32)
+        dyaw = rng.normal(0, yaw_drift)
+        noisy_q = np.asarray(se3.quat_mul(
+            jnp.asarray(rel_q), se3.quat_exp(
+                jnp.asarray([0.0, 0.0, dyaw], jnp.float32))))
+        est = se3.compose(est, se3.Pose(jnp.asarray(noisy_q),
+                                        jnp.asarray(noisy_t)))
+        g.add_pose(np.asarray(est.q), np.asarray(est.t))
+        g.add_edge(k - 1, k, noisy_q, noisy_t, info=(100.0,) * 6)
+    return g, true
+
+
+def _ate(g, true):
+    q, t = g.poses()
+    errs = [np.linalg.norm(t[k] - np.asarray(true[k].t)) for k in range(len(t))]
+    return np.sqrt(np.mean(np.square(errs)))
+
+
+def test_odometry_only_graph_unchanged():
+    """With only consistent odometry edges and a pose-0 prior, the solver
+    must keep the (already consistent) chain."""
+    rng = np.random.default_rng(0)
+    g, true = _noisy_circle_graph(rng, n=16, drift=0.0, yaw_drift=0.0)
+    arrays = g.arrays()
+    out, stats = optimize.solve(arrays, max_poses=g.K, iterations=4)
+    np.testing.assert_allclose(np.asarray(out.t)[:16], g.t[:16], atol=1e-3)
+    assert float(stats.final_cost) < 1e-4
+
+
+def test_loop_closure_corrects_drift():
+    """The classic pose-graph result: drifted odometry + one loop-closure
+    edge → globally consistent trajectory (BASELINE configs[3])."""
+    rng = np.random.default_rng(3)
+    g, true = _noisy_circle_graph(rng, n=32, drift=0.03, yaw_drift=0.01)
+    ate_before = _ate(g, true)
+
+    # loop closure between last and first keyframe with the true relative
+    rel_q, rel_t = relative_pose_measurement(true[31], true[0])
+    g.add_edge(31, 0, rel_q, rel_t, info=(1000.0,) * 6)
+
+    out, stats = optimize.solve(g.arrays(), max_poses=g.K, iterations=10)
+    g.update_from(np.asarray(out.q)[:g.n_poses],
+                  np.asarray(out.t)[:g.n_poses])
+    ate_after = _ate(g, true)
+    assert float(stats.final_cost) <= float(stats.initial_cost) * 1.01
+    assert ate_after < ate_before * 0.5
+    # end-to-start consistency restored
+    q, t = g.poses()
+    rel = se3.compose(se3.inverse(se3.Pose(jnp.asarray(q[31]),
+                                           jnp.asarray(t[31]))),
+                      se3.Pose(jnp.asarray(q[0]), jnp.asarray(t[0])))
+    np.testing.assert_allclose(np.asarray(rel.t), rel_t, atol=0.05)
+
+
+def test_landmark_schur_solve():
+    """Poses + landmark observations: Schur-eliminated solve must recover
+    both the trajectory and the landmark positions."""
+    rng = np.random.default_rng(7)
+    n = 12
+    g, true = _noisy_circle_graph(rng, n=n, drift=0.02, yaw_drift=0.005,
+                                  max_poses=16, max_edges=32)
+    # true landmarks around the circle
+    true_lm = rng.uniform(-30, 30, (8, 3)).astype(np.float32)
+    true_lm[:, 2] = rng.uniform(0, 5, 8)
+    for m in range(8):
+        # initialize landmarks with noise
+        g.add_landmark(true_lm[m] + rng.normal(0, 0.3, 3))
+    for k in range(n):
+        Tk = true[k]
+        for m in range(8):
+            z = np.asarray(se3.apply(se3.inverse(Tk),
+                                     jnp.asarray(true_lm[m])))
+            if np.linalg.norm(z) < 40:
+                g.add_observation(k, m, z + rng.normal(0, 0.01, 3),
+                                  info=(100.0,) * 3)
+    out, stats = optimize.solve_with_landmarks(
+        g.arrays(), max_poses=g.K, max_landmarks=g.M, iterations=10)
+    g.update_from(np.asarray(out.q)[:g.n_poses],
+                  np.asarray(out.t)[:g.n_poses],
+                  np.asarray(out.l_pos)[:g.n_landmarks])
+    ate = _ate(g, true)
+    assert ate < 0.05, ate
+    lm_err = np.linalg.norm(g.l_pos[:8] - true_lm, axis=1)
+    assert np.median(lm_err) < 0.05, lm_err
+
+
+def test_find_candidates():
+    # square loop: keyframes along a square path, returning near start
+    pos = []
+    for k in range(40):
+        s = k / 10.0
+        if s < 1:
+            pos.append([s * 10, 0, 0])
+        elif s < 2:
+            pos.append([10, (s - 1) * 10, 0])
+        elif s < 3:
+            pos.append([10 - (s - 2) * 10, 10, 0])
+        else:
+            pos.append([0, 10 - (s - 3) * 10, 0])
+    pos = np.asarray(pos, float)
+    cands = loopclosure.find_candidates(pos, radius=3.0, min_gap=20)
+    assert cands, "no candidates found"
+    # all candidates must actually be near and temporally distant
+    for i, j in cands:
+        assert j - i >= 20
+        assert np.linalg.norm(pos[i, :2] - pos[j, :2]) < 3.0
+
+
+def test_graph_save_load(tmp_path):
+    rng = np.random.default_rng(0)
+    g, _ = _noisy_circle_graph(rng, n=8)
+    g.add_landmark([1.0, 2.0, 3.0])
+    g.add_observation(0, 0, [1.0, 2.0, 3.0])
+    p = str(tmp_path / "graph.npz")
+    g.save(p)
+    g2 = PoseGraph.load(p)
+    assert g2.n_poses == g.n_poses and g2.n_edges == g.n_edges
+    assert g2.n_landmarks == 1 and g2.n_obs == 1
+    np.testing.assert_allclose(g2.t[:8], g.t[:8])

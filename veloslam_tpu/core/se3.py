@@ -100,24 +100,31 @@ def matrix_to_quat(m):
     return quat_normalize(q)
 
 
+def _safe_norm(v, eps=1e-24):
+    """Norm with finite autodiff at v == 0 (jnp.linalg.norm has NaN grads
+    there, which poisons jacfwd/jacrev through exp/log at the identity)."""
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return jnp.sqrt(jnp.maximum(sq, eps))
+
+
 def quat_exp(rotvec):
-    """so(3) rotation vector (..., 3) -> unit quaternion."""
-    angle = jnp.linalg.norm(rotvec, axis=-1, keepdims=True)
-    small = angle < 1e-8
-    safe = jnp.where(small, 1.0, angle)
+    """so(3) rotation vector (..., 3) -> unit quaternion (AD-safe at 0)."""
+    angle = _safe_norm(rotvec)
+    small = angle < 1e-6
     k = jnp.where(small, 0.5 - angle * angle / 48.0,
-                  jnp.sin(0.5 * angle) / safe)
+                  jnp.sin(0.5 * angle) / angle)
     return jnp.concatenate([jnp.cos(0.5 * angle), k * rotvec], axis=-1)
 
 
 def quat_log(q):
-    """Unit quaternion -> so(3) rotation vector (..., 3)."""
+    """Unit quaternion -> so(3) rotation vector (..., 3) (AD-safe at
+    identity)."""
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)  # take the short way round
     w = jnp.clip(q[..., :1], -1.0, 1.0)
-    vn = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    vn = _safe_norm(q[..., 1:])
     angle = 2.0 * jnp.arctan2(vn, w)
-    small = vn < 1e-8
-    k = jnp.where(small, 2.0 / jnp.clip(w, 1e-8), angle / jnp.where(small, 1.0, vn))
+    small = vn < 1e-6
+    k = jnp.where(small, 2.0 / jnp.maximum(w, 1e-6), angle / vn)
     return k * q[..., 1:]
 
 

@@ -1,0 +1,219 @@
+"""Gauss-Newton pose-graph solver with Schur landmark elimination.
+
+TPU-first solver design (BASELINE configs[3]):
+
+  * per-edge residuals r = log(Z⁻¹ ∘ (Tᵢ⁻¹ ∘ Tⱼ)) and their Jacobians come
+    from vmapped forward-mode autodiff of the retraction-parameterized
+    residual — no hand-derived Jacobians to get wrong;
+  * the normal equations are assembled DENSE: (6K, 6K) for K keyframes.
+    Sparse factorization is a CPU idiom; at SLAM scale (K ≤ a few
+    thousand) a dense blocked Cholesky on the MXU beats pointer-chasing
+    sparsity, and scatter-adding (12, 12) edge blocks into a dense H is a
+    single XLA scatter;
+  * landmarks are eliminated by Schur complement: All is block-diagonal
+    (3, 3) (closed-form inverse), the reduced system
+    S = App − Apl·All⁻¹·Alp couples only poses, and landmarks
+    back-substitute in one batched solve;
+  * gauge freedom is fixed by a strong prior on keyframe 0, and padding
+    rows are regularized by damping, so one static-shape program serves
+    any graph size up to capacity.
+
+The distributed variant shards edges/observations across devices and
+psum-reduces H and b — see veloslam_tpu.parallel.dist_graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from veloslam_tpu.core import se3
+from veloslam_tpu.graph.posegraph import GraphArrays
+
+
+class SolveStats(NamedTuple):
+    initial_cost: jax.Array
+    final_cost: jax.Array
+    iterations: jax.Array
+
+
+def _edge_residual(qi, ti, qj, tj, mq, mt, di, dj):
+    """Residual of one pose-pose edge at retraction deltas (di, dj)."""
+    Pi = se3.retract(se3.Pose(qi, ti), di)
+    Pj = se3.retract(se3.Pose(qj, tj), dj)
+    pred = se3.compose(se3.inverse(Pi), Pj)
+    meas = se3.Pose(mq, mt)
+    return se3.log(se3.compose(se3.inverse(meas), pred))
+
+
+def _edge_r_and_J(qi, ti, qj, tj, mq, mt):
+    """(r (6,), J (6, 12)) at zero delta, via forward-mode autodiff."""
+    def f(d):
+        return _edge_residual(qi, ti, qj, tj, mq, mt, d[:6], d[6:])
+    zero = jnp.zeros(12, ti.dtype)
+    return f(zero), jax.jacfwd(f)(zero)
+
+
+def _obs_residual(qi, ti, lpos, z, di, dl):
+    """Landmark observation: landmark position in keyframe i's frame."""
+    Pi = se3.retract(se3.Pose(qi, ti), di)
+    return se3.apply(se3.inverse(Pi), lpos + dl) - z
+
+
+def _obs_r_and_J(qi, ti, lpos, z):
+    """(r (3,), Jp (3, 6), Jl (3, 3)) at zero deltas."""
+    def f(d):
+        return _obs_residual(qi, ti, lpos, z, d[:6], d[6:9])
+    zero = jnp.zeros(9, ti.dtype)
+    r = f(zero)
+    J = jax.jacfwd(f)(zero)
+    return r, J[:, :6], J[:, 6:9]
+
+
+def _assemble_pose_system(g: GraphArrays, max_poses: int):
+    """Dense H (6K, 6K), b (6K,) from pose-pose edges + cost."""
+    K = max_poses
+    r, J = jax.vmap(_edge_r_and_J)(g.q[g.e_i], g.t[g.e_i], g.q[g.e_j],
+                                   g.t[g.e_j], g.e_q, g.e_t)
+    w = g.e_valid.astype(r.dtype)[:, None] * g.e_info        # (E, 6)
+    Jw = J * w[:, :, None]                                    # (E, 6, 12)
+    blocks = jnp.einsum("eri,erj->eij", Jw, J)                # (E, 12, 12)
+    bvec = jnp.einsum("eri,er->ei", Jw, r)                    # (E, 12)
+    cost = jnp.sum(w * r * r)
+
+    rows = jnp.concatenate([g.e_i[:, None] * 6 + jnp.arange(6),
+                            g.e_j[:, None] * 6 + jnp.arange(6)], axis=1)
+    H = jnp.zeros((6 * K, 6 * K), r.dtype)
+    H = H.at[rows[:, :, None], rows[:, None, :]].add(blocks)
+    b = jnp.zeros(6 * K, r.dtype).at[rows].add(bvec)
+    return H, b, cost
+
+
+def _assemble_landmark_terms(g: GraphArrays, max_poses: int,
+                             max_landmarks: int):
+    """Landmark-coupled terms: App-add, b_p-add, All (M,3,3), b_l (M,3),
+    and per-observation blocks for the Schur product."""
+    K, M = max_poses, max_landmarks
+    r, Jp, Jl = jax.vmap(_obs_r_and_J)(g.q[g.o_i], g.t[g.o_i],
+                                       g.l_pos[g.o_l], g.o_z)
+    w = g.o_valid.astype(r.dtype)[:, None] * g.o_info         # (O, 3)
+    Jpw = Jp * w[:, :, None]
+    Jlw = Jl * w[:, :, None]
+    cost = jnp.sum(w * r * r)
+
+    rows_p = g.o_i[:, None] * 6 + jnp.arange(6)               # (O, 6)
+    app = jnp.einsum("ori,orj->oij", Jpw, Jp)                 # (O, 6, 6)
+    H_pp = jnp.zeros((6 * K, 6 * K), r.dtype)
+    H_pp = H_pp.at[rows_p[:, :, None], rows_p[:, None, :]].add(app)
+    b_p = jnp.zeros(6 * K, r.dtype).at[rows_p].add(
+        jnp.einsum("ori,or->oi", Jpw, r))
+
+    all_blocks = jnp.einsum("ori,orj->oij", Jlw, Jl)          # (O, 3, 3)
+    All = jax.ops.segment_sum(all_blocks, g.o_l, num_segments=M)
+    b_l = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jlw, r), g.o_l,
+                              num_segments=M)
+    Apl = jnp.einsum("ori,orj->oij", Jpw, Jl)                 # (O, 6, 3)
+    return H_pp, b_p, All, b_l, Apl, rows_p, cost
+
+
+@functools.partial(jax.jit, static_argnames=("max_poses", "iterations",
+                                             "prior_weight", "damping"))
+def solve(g: GraphArrays, *, max_poses: int, iterations: int = 8,
+          prior_weight: float = 1e6, damping: float = 1e-4
+          ) -> Tuple[GraphArrays, SolveStats]:
+    """Pose-only Gauss-Newton (odometry + loop-closure edges)."""
+    K = max_poses
+
+    def body(it, state):
+        g_cur, costs = state
+        H, b, cost = _assemble_pose_system(g_cur, K)
+        diag = jnp.arange(6 * K)
+        H = H.at[diag, diag].add(damping)
+        H = H.at[jnp.arange(6), jnp.arange(6)].add(prior_weight)  # gauge
+        delta = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), b)
+        delta = delta.reshape(K, 6)
+        pose_mask = (jnp.arange(K) < g_cur.n_poses)[:, None]
+        delta = jnp.where(pose_mask, delta, 0.0)
+        new = se3.retract(se3.Pose(g_cur.q, g_cur.t), delta)
+        g_new = g_cur._replace(q=new.q, t=new.t)
+        return g_new, (jnp.where(it == 0, cost, costs[0]), cost)
+
+    g_out, (c0, c1) = jax.lax.fori_loop(
+        0, iterations, body, (g, (jnp.asarray(jnp.inf, jnp.float32),
+                                  jnp.asarray(jnp.inf, jnp.float32))))
+    return g_out, SolveStats(initial_cost=c0, final_cost=c1,
+                             iterations=jnp.asarray(iterations, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("max_poses", "max_landmarks",
+                                             "iterations", "prior_weight",
+                                             "damping"))
+def solve_with_landmarks(g: GraphArrays, *, max_poses: int,
+                         max_landmarks: int, iterations: int = 8,
+                         prior_weight: float = 1e6, damping: float = 1e-4
+                         ) -> Tuple[GraphArrays, SolveStats]:
+    """Full bundle-style solve: pose-pose edges + pose-landmark
+    observations, landmarks eliminated via Schur complement."""
+    K, M = max_poses, max_landmarks
+
+    def body(it, state):
+        g_cur, costs = state
+        H_ee, b_ee, cost_e = _assemble_pose_system(g_cur, K)
+        H_po, b_po, All, b_l, Apl, rows_p, cost_o = \
+            _assemble_landmark_terms(g_cur, K, M)
+        cost = cost_e + cost_o
+
+        App = H_ee + H_po
+        diag = jnp.arange(6 * K)
+        App = App.at[diag, diag].add(damping)
+        App = App.at[jnp.arange(6), jnp.arange(6)].add(prior_weight)
+        b_p = b_ee + b_po
+
+        # Schur: eliminate landmarks.  All is block-diagonal (M, 3, 3).
+        land_mask = jnp.arange(M) < g_cur.n_landmarks
+        All = All + (damping + 1e-3) * jnp.eye(3)[None]
+        All_inv = jnp.linalg.inv(All)                          # batched 3x3
+        All_inv = jnp.where(land_mask[:, None, None], All_inv, 0.0)
+
+        # S = App − Σ_obs,obs' Apl_o All⁻¹ Aplᵀ_o' grouped per landmark.
+        # Compute per-observation Y_o = Apl_o · All_inv[l_o]  (O, 6, 3),
+        # then scatter Y_o · Apl_o'ᵀ for every obs pair sharing a landmark.
+        Y = jnp.einsum("oij,ojk->oik", Apl, All_inv[g.o_l])    # (O, 6, 3)
+        # Per-landmark sums of Apl (rows grouped by pose) can't be formed
+        # blockwise without pose-pair pairing; instead accumulate
+        # T_l = Σ_o [rows_o ⊗ Apl_o] into a (M, 3, 6K) tensor — memory
+        # M·18K.  For SLAM-scale M, K this is fine; the distributed path
+        # shards it.
+        T = jnp.zeros((M, 3, 6 * K), Apl.dtype)
+        T = T.at[g.o_l[:, None, None],
+                 jnp.arange(3)[None, :, None],
+                 rows_p[:, None, :]].add(jnp.swapaxes(Apl, 1, 2))
+        # S -= Σ_l (T_lᵀ All_inv_l T_l): compute U_l = All_inv_l · T_l
+        U = jnp.einsum("lab,lbk->lak", All_inv, T)             # (M, 3, 6K)
+        S = App - jnp.einsum("lak,lam->km", T, U)
+        b_red = b_p - jnp.einsum("lak,la->k", T,
+                                 jnp.einsum("lab,lb->la", All_inv, b_l))
+
+        delta_p = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(S), b_red)
+        # Back-substitute landmarks: δl = −All⁻¹ (b_l + Alp δp).
+        Alp_dp = jnp.einsum("lak,k->la", T, delta_p)
+        delta_l = -jnp.einsum("lab,lb->la", All_inv, b_l + Alp_dp)
+
+        delta_p = delta_p.reshape(K, 6)
+        pose_mask = (jnp.arange(K) < g_cur.n_poses)[:, None]
+        delta_p = jnp.where(pose_mask, delta_p, 0.0)
+        delta_l = jnp.where(land_mask[:, None], delta_l, 0.0)
+        new = se3.retract(se3.Pose(g_cur.q, g_cur.t), delta_p)
+        g_new = g_cur._replace(q=new.q, t=new.t,
+                               l_pos=g_cur.l_pos + delta_l)
+        return g_new, (jnp.where(it == 0, cost, costs[0]), cost)
+
+    g_out, (c0, c1) = jax.lax.fori_loop(
+        0, iterations, body, (g, (jnp.asarray(jnp.inf, jnp.float32),
+                                  jnp.asarray(jnp.inf, jnp.float32))))
+    return g_out, SolveStats(initial_cost=c0, final_cost=c1,
+                             iterations=jnp.asarray(iterations, jnp.int32))

@@ -1,0 +1,185 @@
+"""Pose-graph state as fixed-capacity arrays.
+
+The back end the reference never implemented (reference README.md:25-26);
+designed for jit: keyframe poses and factors live in static-shape arrays
+with validity counts, so the whole optimizer compiles once and reruns as
+the graph grows.
+
+Factors:
+  * pose-pose edges (odometry + loop closures): relative-pose measurement
+    Z_ij with diagonal information (6,),
+  * pose-landmark observations: landmark position measured in the keyframe
+    sensor frame with diagonal information (3,) — these are Schur-eliminated
+    in the solver (optimize.solve_with_landmarks).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from veloslam_tpu.core import se3
+
+
+class GraphArrays(NamedTuple):
+    """Device view of the graph (static shapes)."""
+
+    q: jax.Array           # (K, 4) keyframe orientations
+    t: jax.Array           # (K, 3) keyframe positions
+    n_poses: jax.Array     # () int32
+    e_i: jax.Array         # (E,) int32 edge source keyframe
+    e_j: jax.Array         # (E,) int32 edge target keyframe
+    e_q: jax.Array         # (E, 4) measured relative rotation
+    e_t: jax.Array         # (E, 3) measured relative translation
+    e_info: jax.Array      # (E, 6) diagonal information
+    e_valid: jax.Array     # (E,) bool
+    l_pos: jax.Array       # (M, 3) landmark positions
+    n_landmarks: jax.Array  # () int32
+    o_i: jax.Array         # (O,) int32 observing keyframe
+    o_l: jax.Array         # (O,) int32 observed landmark
+    o_z: jax.Array         # (O, 3) measurement in keyframe frame
+    o_info: jax.Array      # (O, 3) diagonal information
+    o_valid: jax.Array     # (O,) bool
+
+
+class PoseGraph:
+    """Host-side builder with append APIs; `arrays()` snapshots for jit."""
+
+    def __init__(self, max_poses: int = 1024, max_edges: int = 4096,
+                 max_landmarks: int = 1024, max_obs: int = 8192):
+        self.K, self.E = max_poses, max_edges
+        self.M, self.O = max_landmarks, max_obs
+        self.q = np.zeros((self.K, 4), np.float32)
+        self.q[:, 0] = 1.0
+        self.t = np.zeros((self.K, 3), np.float32)
+        self.n_poses = 0
+        self.e_i = np.zeros(self.E, np.int32)
+        self.e_j = np.zeros(self.E, np.int32)
+        self.e_q = np.zeros((self.E, 4), np.float32)
+        self.e_q[:, 0] = 1.0
+        self.e_t = np.zeros((self.E, 3), np.float32)
+        self.e_info = np.zeros((self.E, 6), np.float32)
+        self.n_edges = 0
+        self.l_pos = np.zeros((self.M, 3), np.float32)
+        self.n_landmarks = 0
+        self.o_i = np.zeros(self.O, np.int32)
+        self.o_l = np.zeros(self.O, np.int32)
+        self.o_z = np.zeros((self.O, 3), np.float32)
+        self.o_info = np.zeros((self.O, 3), np.float32)
+        self.n_obs = 0
+
+    # --- construction ------------------------------------------------------
+
+    def add_pose(self, q, t) -> int:
+        if self.n_poses >= self.K:
+            raise ValueError(f"pose capacity {self.K} exceeded")
+        k = self.n_poses
+        self.q[k] = np.asarray(q, np.float32)
+        self.t[k] = np.asarray(t, np.float32)
+        self.n_poses += 1
+        return k
+
+    def add_edge(self, i: int, j: int, rel_q, rel_t,
+                 info=(100.0,) * 6) -> int:
+        if self.n_edges >= self.E:
+            raise ValueError(f"edge capacity {self.E} exceeded")
+        e = self.n_edges
+        self.e_i[e], self.e_j[e] = i, j
+        self.e_q[e] = np.asarray(rel_q, np.float32)
+        self.e_t[e] = np.asarray(rel_t, np.float32)
+        info = np.asarray(info, np.float32)
+        self.e_info[e] = np.broadcast_to(info, (6,))
+        self.n_edges += 1
+        return e
+
+    def add_landmark(self, pos) -> int:
+        if self.n_landmarks >= self.M:
+            raise ValueError(f"landmark capacity {self.M} exceeded")
+        m = self.n_landmarks
+        self.l_pos[m] = np.asarray(pos, np.float32)
+        self.n_landmarks += 1
+        return m
+
+    def add_observation(self, pose_i: int, landmark: int, z,
+                        info=(25.0,) * 3) -> int:
+        if self.n_obs >= self.O:
+            raise ValueError(f"observation capacity {self.O} exceeded")
+        o = self.n_obs
+        self.o_i[o], self.o_l[o] = pose_i, landmark
+        self.o_z[o] = np.asarray(z, np.float32)
+        self.o_info[o] = np.broadcast_to(np.asarray(info, np.float32), (3,))
+        self.n_obs += 1
+        return o
+
+    # --- snapshots ---------------------------------------------------------
+
+    def arrays(self) -> GraphArrays:
+        e_valid = np.zeros(self.E, bool)
+        e_valid[:self.n_edges] = True
+        o_valid = np.zeros(self.O, bool)
+        o_valid[:self.n_obs] = True
+        return GraphArrays(
+            q=jnp.asarray(self.q), t=jnp.asarray(self.t),
+            n_poses=jnp.asarray(self.n_poses, jnp.int32),
+            e_i=jnp.asarray(self.e_i), e_j=jnp.asarray(self.e_j),
+            e_q=jnp.asarray(self.e_q), e_t=jnp.asarray(self.e_t),
+            e_info=jnp.asarray(self.e_info), e_valid=jnp.asarray(e_valid),
+            l_pos=jnp.asarray(self.l_pos),
+            n_landmarks=jnp.asarray(self.n_landmarks, jnp.int32),
+            o_i=jnp.asarray(self.o_i), o_l=jnp.asarray(self.o_l),
+            o_z=jnp.asarray(self.o_z), o_info=jnp.asarray(self.o_info),
+            o_valid=jnp.asarray(o_valid))
+
+    def update_from(self, q: np.ndarray, t: np.ndarray,
+                    l_pos: np.ndarray = None) -> None:
+        """Write optimized values back into the builder."""
+        self.q[:len(q)] = np.asarray(q)
+        self.t[:len(t)] = np.asarray(t)
+        if l_pos is not None:
+            self.l_pos[:len(l_pos)] = np.asarray(l_pos)
+
+    def poses(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.q[:self.n_poses], self.t[:self.n_poses]
+
+    # --- persistence (checkpoint/resume contract) --------------------------
+
+    def save(self, path: str) -> None:
+        np.savez(path, q=self.q[:self.n_poses], t=self.t[:self.n_poses],
+                 e_i=self.e_i[:self.n_edges], e_j=self.e_j[:self.n_edges],
+                 e_q=self.e_q[:self.n_edges], e_t=self.e_t[:self.n_edges],
+                 e_info=self.e_info[:self.n_edges],
+                 l_pos=self.l_pos[:self.n_landmarks],
+                 o_i=self.o_i[:self.n_obs], o_l=self.o_l[:self.n_obs],
+                 o_z=self.o_z[:self.n_obs], o_info=self.o_info[:self.n_obs],
+                 caps=np.asarray([self.K, self.E, self.M, self.O]))
+
+    @classmethod
+    def load(cls, path: str) -> "PoseGraph":
+        d = np.load(path)
+        K, E, M, O = d["caps"]
+        g = cls(int(K), int(E), int(M), int(O))
+        n = len(d["q"])
+        g.q[:n], g.t[:n] = d["q"], d["t"]
+        g.n_poses = n
+        ne = len(d["e_i"])
+        g.e_i[:ne], g.e_j[:ne] = d["e_i"], d["e_j"]
+        g.e_q[:ne], g.e_t[:ne] = d["e_q"], d["e_t"]
+        g.e_info[:ne] = d["e_info"]
+        g.n_edges = ne
+        nl = len(d["l_pos"])
+        g.l_pos[:nl] = d["l_pos"]
+        g.n_landmarks = nl
+        no = len(d["o_i"])
+        g.o_i[:no], g.o_l[:no] = d["o_i"], d["o_l"]
+        g.o_z[:no], g.o_info[:no] = d["o_z"], d["o_info"]
+        g.n_obs = no
+        return g
+
+
+def relative_pose_measurement(pose_a: se3.Pose, pose_b: se3.Pose):
+    """Z_ab = a⁻¹ ∘ b as (quat, t) numpy — convenience for edge insertion."""
+    rel = se3.relative(pose_a, pose_b)
+    return np.asarray(rel.q), np.asarray(rel.t)
