@@ -1,0 +1,143 @@
+"""Frame store: time-indexed frame cache with transparent disk spill.
+
+Capability parity with the reference's HDLManager memory model
+(reference HDLManager.h:111-167, SURVEY.md §3.4/3.5): a bounded in-RAM
+frame cache, background-persistable frames, transparent materialization on
+query, and a meta-index checkpoint that lets a session resume from disk
+alone (saveHDLMeta/loadHDLMeta contract, HDLManager.cxx:427-467).
+
+Differences by design: frames are dense numpy tensors persisted as npz
+(no pcap re-decode on reload — decode already happened once on the TPU);
+queries are Timeline binary searches instead of bucket scans.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from veloslam_tpu.core.timeline import Timeline
+
+FrameDict = Dict[str, np.ndarray]
+
+
+class FrameStore:
+    """Bounded cache of decoded frames keyed by start time (int64 µs)."""
+
+    def __init__(self, capacity: int = 200,
+                 spill_dir: Optional[str] = None):
+        self.capacity = capacity          # reference default 200 frames
+        self.spill_dir = spill_dir
+        self._frames: Dict[int, FrameDict] = {}
+        self._spilled: Dict[int, str] = {}
+        self._meta = Timeline(("carpose_q", "carpose_t", "n_points"))
+        self._touch: Dict[int, int] = {}
+        self._clock = 0
+
+    def __len__(self) -> int:
+        return len(self._meta)
+
+    # --- writes -------------------------------------------------------------
+
+    def add_frame(self, start_us: int, frame: FrameDict,
+                  carpose_q: np.ndarray = None,
+                  carpose_t: np.ndarray = None) -> None:
+        start_us = int(start_us)
+        self._clock += 1
+        self._frames[start_us] = frame
+        self._touch[start_us] = self._clock
+        self._meta.add(
+            start_us,
+            carpose_q=(np.asarray([1.0, 0, 0, 0]) if carpose_q is None
+                       else np.asarray(carpose_q)),
+            carpose_t=(np.zeros(3) if carpose_t is None
+                       else np.asarray(carpose_t)),
+            n_points=int(frame["mask"].sum()))
+        self._evict_if_needed()
+
+    def _evict_if_needed(self) -> None:
+        while len(self._frames) > self.capacity:
+            lru = min(self._touch, key=self._touch.get)
+            frame = self._frames.pop(lru)
+            del self._touch[lru]
+            if self.spill_dir is not None:
+                os.makedirs(self.spill_dir, exist_ok=True)
+                path = os.path.join(self.spill_dir, f"frame_{lru}.npz")
+                if lru not in self._spilled:
+                    np.savez_compressed(path, **frame)
+                self._spilled[lru] = path
+            # without spill_dir the frame data is dropped; meta remains
+
+    # --- reads (prepareFrame analog: HDLManager.cxx:195-211) ----------------
+
+    def _materialize(self, start_us: int) -> Optional[FrameDict]:
+        self._clock += 1
+        if start_us in self._frames:
+            self._touch[start_us] = self._clock
+            return self._frames[start_us]
+        if start_us in self._spilled:
+            data = np.load(self._spilled[start_us], allow_pickle=False)
+            frame = {k: data[k] for k in data.files}
+            self._frames[start_us] = frame
+            self._touch[start_us] = self._clock
+            self._evict_if_needed()
+            return frame
+        return None
+
+    def get_frame_at(self, t_us: int) -> Optional[FrameDict]:
+        """Exact-start lookup (getFrameAt, HDLManager.h:141)."""
+        times, _ = self._meta.arrays()
+        i = np.searchsorted(times, int(t_us))
+        if i >= len(times) or times[i] != int(t_us):
+            return None
+        return self._materialize(int(times[i]))
+
+    def get_frame_near(self, t_us: int) -> Optional[FrameDict]:
+        """Nearest-start lookup (getFrameNear, HDLManager.h:144)."""
+        if len(self._meta) == 0:
+            return None
+        times, _ = self._meta.arrays()
+        return self._materialize(int(times[self._meta.nearest(int(t_us))]))
+
+    def get_recent_frame(self) -> Optional[FrameDict]:
+        """Latest frame (getRecentFrame, HDLManager.h:138)."""
+        if len(self._meta) == 0:
+            return None
+        times, _ = self._meta.arrays()
+        return self._materialize(int(times[-1]))
+
+    def get_range_between(self, t0_us: int, t1_us: int) -> List[FrameDict]:
+        """All frames starting in [t0, t1) (getRangeBetween,
+        HDLManager.h:146)."""
+        times, _ = self._meta.arrays()
+        sl = self._meta.range_between(int(t0_us), int(t1_us))
+        out = []
+        for t in times[sl]:
+            f = self._materialize(int(t))
+            if f is not None:
+                out.append(f)
+        return out
+
+    def all_frame_meta(self):
+        """(times_us, values) of the frame index (getAllFrameMeta,
+        HDLManager.h:148)."""
+        return self._meta.arrays()
+
+    # --- meta checkpoint (saveHDLMeta/loadHDLMeta contract) ------------------
+
+    def save_meta(self, path: str) -> None:
+        self._meta.save(path)
+
+    def load_meta(self, path: str, spill_dir: Optional[str] = None) -> None:
+        """Rebuild the index from a meta checkpoint; frame payloads resolve
+        from `spill_dir` (or this store's) on access."""
+        self._meta = Timeline.load(path)
+        sd = spill_dir or self.spill_dir
+        times, _ = self._meta.arrays()
+        if sd is not None:
+            for t in times:
+                p = os.path.join(sd, f"frame_{int(t)}.npz")
+                if os.path.exists(p):
+                    self._spilled[int(t)] = p

@@ -1,0 +1,350 @@
+"""The SLAM pipeline: packets → frames → odometry → map → pose graph.
+
+This is the central runtime — the role HDLManager plays in the reference
+(wiring all components, reference HDLManager.cxx:62-72) plus the SLAM loop
+the reference never implemented.  The reference's thread-per-stage design
+(SURVEY.md §2b) becomes a host-driven loop over jitted device steps:
+
+    packet batch ─jit→ decode ─jit→ compensate(INS) ─jit→ assemble
+       per completed frame (host orchestration):
+         localize:  GICP against the map ROI, INS-relative prior
+         integrate: corrected scan → voxel map
+         keyframe:  threshold → pose-graph node + odometry edge
+         closure:   periodic candidate check → GICP verify → edge → solve
+
+Estimation frame model: the INS track provides motion compensation and
+relative priors; scan-to-map registration corrects absolute drift.  Frames
+are de-skewed in the INS world frame, then re-expressed relative to the
+frame-start INS pose ("local frame"); the corrected world pose of each
+frame is T_est = registration(local cloud, map ROI, prior), with
+prior = T_est_prev ∘ (T_ins_prev⁻¹ ∘ T_ins_cur).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from veloslam_tpu.config import SlamConfig
+from veloslam_tpu.core import se3
+from veloslam_tpu.core.timeline import PoseTrack
+from veloslam_tpu.decode import calibration as calib_mod
+from veloslam_tpu.decode.decode import (DeviceCalib, compensate,
+                                        decode_packets)
+from veloslam_tpu.decode.frames import AssemblyCarry, assemble_frames
+from veloslam_tpu.graph import loopclosure, optimize
+from veloslam_tpu.graph.posegraph import PoseGraph
+from veloslam_tpu.io import packets as pk
+from veloslam_tpu.io.pcap import read_lidar_packets
+from veloslam_tpu.map.voxelmap import VoxelMap
+from veloslam_tpu.registration import gicp
+from veloslam_tpu.runtime.framestore import FrameStore
+from veloslam_tpu.utils.profiling import StageTimers
+
+
+@dataclasses.dataclass
+class FrameResult:
+    start_us: int
+    pose_q: np.ndarray
+    pose_t: np.ndarray
+    n_points: int
+    n_matched: int
+    mean_error: float
+    registered: bool
+
+
+def _np_pose(q, t) -> se3.Pose:
+    return se3.Pose(jnp.asarray(q, jnp.float32), jnp.asarray(t, jnp.float32))
+
+
+class SlamPipeline:
+    def __init__(self, config: Optional[SlamConfig] = None,
+                 spill_dir: Optional[str] = None):
+        self.cfg = config or SlamConfig()
+        sc = self.cfg.sensor
+        self.calib = (calib_mod.from_xml(sc.calibration_path)
+                      if sc.calibration_path
+                      else calib_mod.default_for(sc.model))
+        self.dcalib = DeviceCalib.from_host(self.calib)
+        self.track = PoseTrack()                 # INS prior track
+        self.map = VoxelMap(self.cfg.map, spill_dir=spill_dir)
+        self.frames = FrameStore(self.cfg.pipeline.frame_cache_capacity,
+                                 spill_dir=spill_dir)
+        self.graph = PoseGraph(max_poses=self.cfg.graph.max_keyframes)
+        self.keyframe_scans: List[Tuple[np.ndarray, np.ndarray]] = []
+        self.keyframe_times: List[int] = []
+        self.trajectory: List[FrameResult] = []
+        self.timers = StageTimers()
+        self.closures: List[Tuple[int, int]] = []
+        self._carry = AssemblyCarry.init(sc.n_lasers,
+                                         sc.max_firings_per_frame)
+        self._open_start_abs: Optional[float] = None
+        self._last_ins: Optional[se3.Pose] = None
+        self._last_est: Optional[se3.Pose] = None
+        self._kf_count_at_last_close = 0
+
+    # --- inputs -------------------------------------------------------------
+
+    def feed_ins_txt(self, path: str) -> None:
+        """Load the reference INS text log format as the prior track."""
+        ins = pk.read_ins_txt(path)
+        for i in range(len(ins["t_us"])):
+            q = np.asarray(se3.euler_deg_to_quat(
+                ins["roll_deg"][i], ins["pitch_deg"][i], ins["yaw_deg"][i]))
+            t3 = np.array([ins["pos_xy"][i, 0], ins["pos_xy"][i, 1], 0.0])
+            yaw = np.deg2rad(ins["yaw_deg"][i])
+            v = ins["speed"][i] * np.array([np.cos(yaw), np.sin(yaw), 0.0])
+            self.track.add(int(ins["t_us"][i]), q=q, t=t3, v=v)
+
+    def feed_ins_pose(self, t_us: int, q, t, v=None) -> None:
+        self.track.add(int(t_us), q=np.asarray(q), t=np.asarray(t), v=v)
+
+    # --- ingest -------------------------------------------------------------
+
+    def process_packets(self, pkts: np.ndarray, times_us: np.ndarray) -> int:
+        """Feed a batch of packets; returns frames completed."""
+        sc = self.cfg.sensor
+        pc = self.cfg.pipeline
+        anchor = int(times_us[0])
+        rel = jnp.asarray((times_us - anchor) * 1e-6, jnp.float32)
+        with self.timers.stage("decode"):
+            dec = decode_packets(jnp.asarray(pkts), self.dcalib,
+                                 model=sc.model,
+                                 crop_region=sc.crop_region,
+                                 crop_inside=sc.crop_inside,
+                                 points_skip=pc.points_skip)
+        if len(self.track) > 0:
+            with self.timers.stage("compensate"):
+                w = self.track.window(int(times_us[0]), int(times_us[-1]),
+                                      anchor_us=anchor)
+                xyz_w, _ = compensate(
+                    dec, rel, jnp.asarray(w["rel_s"]), jnp.asarray(w["q"]),
+                    jnp.asarray(w["t"]), jnp.asarray(w["v"]),
+                    per_packet=(pc.compensation == "per_packet"))
+        else:
+            xyz_w = dec.xyz
+        carry_start = jnp.asarray(
+            0.0 if self._open_start_abs is None
+            else (self._open_start_abs - anchor) * 1e-6, jnp.float32)
+        with self.timers.stage("assemble"):
+            fb, n_done, starts, self._carry, open_start = assemble_frames(
+                dec, xyz_w, rel, self._carry, carry_start, model=sc.model,
+                n_beams=sc.n_lasers, max_firings=sc.max_firings_per_frame)
+        n_done = int(n_done)
+        for k in range(n_done):
+            start_us = int(anchor + float(starts[k]) * 1e6)
+            frame = {
+                "xyz": np.asarray(fb.xyz[k]),
+                "mask": np.asarray(fb.mask[k]),
+                "intensity": np.asarray(fb.intensity[k]),
+                "rel_s": np.asarray(fb.rel_s[k]),
+                "azimuth": np.asarray(fb.azimuth[k]),
+            }
+            with self.timers.stage("frame"):
+                self._handle_frame(frame, start_us)
+        self._open_start_abs = anchor + float(open_start) * 1e6
+        return n_done
+
+    def run_offline(self, pcap_path: str, ins_path: Optional[str] = None,
+                    max_packets: Optional[int] = None) -> Dict:
+        """The loadOffline equivalent (reference HDLManager.cxx:103-117):
+        drive the whole pcap through the pipeline."""
+        if ins_path:
+            self.feed_ins_txt(ins_path)
+        pkts, times, _ = read_lidar_packets(pcap_path, max_packets)
+        B = self.cfg.pipeline.packets_per_batch
+        n = (len(pkts) // B) * B
+        for s in range(0, n, B):
+            self.process_packets(pkts[s:s + B], times[s:s + B])
+        return self.results()
+
+    # --- per-frame SLAM loop ------------------------------------------------
+
+    def _ins_pose_at(self, t_us: int) -> Optional[se3.Pose]:
+        if len(self.track) == 0:
+            return None
+        w = self.track.window(t_us, t_us + 1, anchor_us=t_us)
+        from veloslam_tpu.core.timeline import interpolate_poses
+        p = interpolate_poses(jnp.asarray(w["rel_s"]), jnp.asarray(w["q"]),
+                              jnp.asarray(w["t"]), jnp.asarray(w["v"]),
+                              jnp.zeros(1, jnp.float32))
+        return se3.Pose(p.q[0], p.t[0])
+
+    def _subsample(self, frame: Dict) -> Tuple[np.ndarray, np.ndarray]:
+        pts = frame["xyz"][frame["mask"]]
+        P = self.cfg.registration.max_points
+        if len(pts) > P:
+            stride = int(np.ceil(len(pts) / P))
+            pts = pts[::stride][:P]
+        out = np.zeros((P, 3), np.float32)
+        msk = np.zeros(P, bool)
+        out[:len(pts)] = pts
+        msk[:len(pts)] = True
+        return out, msk
+
+    def _handle_frame(self, frame: Dict, start_us: int) -> None:
+        rc = self.cfg.registration
+        ins = self._ins_pose_at(start_us)
+        frame_world = frame  # compensated into INS world frame (or sensor)
+
+        # Local cloud: relative to the frame-start INS pose.
+        if ins is not None:
+            inv_ins = se3.inverse(ins)
+            pts_local_full = np.asarray(se3.apply(
+                inv_ins, jnp.asarray(frame["xyz"], jnp.float32)))
+        else:
+            pts_local_full = frame["xyz"]
+        local_frame = dict(frame)
+        local_frame["xyz"] = pts_local_full
+        pts, mask = self._subsample(local_frame)
+
+        # Prior: previous estimate composed with the INS relative motion.
+        if self._last_est is None:
+            T_prior = ins if ins is not None else se3.Pose.identity()
+        elif ins is not None and self._last_ins is not None:
+            rel = se3.compose(se3.inverse(self._last_ins), ins)
+            T_prior = se3.compose(self._last_est, rel)
+        else:
+            T_prior = self._last_est
+
+        # Localize against the map ROI.
+        registered = False
+        n_matched, mean_error = 0, float("nan")
+        T_est = T_prior
+        prior_t = np.asarray(T_prior.t)
+        roi = self.map.roi_grid(float(prior_t[0]), float(prior_t[1]))
+        if roi is not None:
+            target = gicp.plane_grid_from(
+                roi, min_points=rc.min_points_per_voxel,
+                min_planarity=rc.min_planarity)
+            with self.timers.stage("register"):
+                res = gicp.register(
+                    jnp.asarray(pts), jnp.asarray(mask), target, T_prior,
+                    iterations=rc.max_iterations, damping=rc.damping,
+                    huber_delta=rc.huber_delta,
+                    max_dist=rc.max_correspondence_dist)
+            n_matched = int(res.n_matched)
+            mean_error = float(res.mean_error)
+            if n_matched > 500 and np.isfinite(mean_error):
+                T_est = res.pose
+                registered = True
+
+        # Integrate the corrected scan into the map.
+        pts_world = np.asarray(se3.apply(T_est, jnp.asarray(pts)))
+        est_t = np.asarray(T_est.t)
+        with self.timers.stage("map_update"):
+            self.map.integrate_points(pts_world, mask, center=est_t)
+
+        # Bookkeeping.
+        self.frames.add_frame(start_us, frame_world,
+                              carpose_q=np.asarray(T_est.q),
+                              carpose_t=est_t)
+        self.trajectory.append(FrameResult(
+            start_us=start_us, pose_q=np.asarray(T_est.q), pose_t=est_t,
+            n_points=int(mask.sum()), n_matched=n_matched,
+            mean_error=mean_error, registered=registered))
+        self._maybe_keyframe(T_est, pts, mask, start_us)
+        self._last_ins = ins
+        self._last_est = T_est
+
+    # --- keyframes + loop closure -------------------------------------------
+
+    def _maybe_keyframe(self, T_est: se3.Pose, pts: np.ndarray,
+                        mask: np.ndarray, start_us: int) -> None:
+        gc = self.cfg.graph
+        if self.graph.n_poses > 0:
+            k = self.graph.n_poses - 1
+            last = _np_pose(self.graph.q[k], self.graph.t[k])
+            rel = se3.relative(last, T_est)
+            dt = float(jnp.linalg.norm(rel.t))
+            dr = float(jnp.linalg.norm(se3.quat_log(rel.q)))
+            if dt < gc.keyframe_translation_m and \
+                    dr < np.deg2rad(gc.keyframe_rotation_deg):
+                return
+        k = self.graph.add_pose(np.asarray(T_est.q), np.asarray(T_est.t))
+        self.keyframe_scans.append((pts.copy(), mask.copy()))
+        self.keyframe_times.append(start_us)
+        if k > 0:
+            prev = _np_pose(self.graph.q[k - 1], self.graph.t[k - 1])
+            rel = se3.relative(prev, T_est)
+            self.graph.add_edge(k - 1, k, np.asarray(rel.q),
+                                np.asarray(rel.t), info=(100.0,) * 6)
+        if k - self._kf_count_at_last_close >= 10:
+            self._try_loop_closure()
+            self._kf_count_at_last_close = k
+
+    def _try_loop_closure(self) -> None:
+        gc = self.cfg.graph
+        rc = self.cfg.registration
+        q, t = self.graph.poses()
+        cands = loopclosure.find_candidates(
+            t, radius=gc.loop_closure_radius_m,
+            min_gap=gc.loop_closure_min_gap)
+        new = [c for c in cands if c not in self.closures]
+        accepted = 0
+        for i, j in new[:3]:
+            pi, mi = self.keyframe_scans[i]
+            pj, mj = self.keyframe_scans[j]
+            prior = se3.relative(_np_pose(q[i], t[i]), _np_pose(q[j], t[j]))
+            with self.timers.stage("loop_verify"):
+                meas = loopclosure.verify_closure(
+                    jnp.asarray(pi), jnp.asarray(mi), jnp.asarray(pj),
+                    jnp.asarray(mj), prior,
+                    voxel_size=rc.voxel_size,
+                    capacity=rc.scan_voxel_capacity)
+            if meas is None:
+                continue
+            self.graph.add_edge(i, j, np.asarray(meas.q),
+                                np.asarray(meas.t), info=(500.0,) * 6)
+            self.closures.append((i, j))
+            accepted += 1
+        if accepted:
+            with self.timers.stage("graph_solve"):
+                out, _ = optimize.solve(self.graph.arrays(),
+                                        max_poses=self.graph.K,
+                                        iterations=self.cfg.graph.gn_iterations)
+            self.graph.update_from(np.asarray(out.q)[:self.graph.n_poses],
+                                   np.asarray(out.t)[:self.graph.n_poses])
+
+    # --- outputs ------------------------------------------------------------
+
+    def results(self) -> Dict:
+        traj_t = np.asarray([r.pose_t for r in self.trajectory])
+        traj_q = np.asarray([r.pose_q for r in self.trajectory])
+        times = np.asarray([r.start_us for r in self.trajectory], np.int64)
+        return {
+            "times_us": times,
+            "positions": traj_t,
+            "quaternions": traj_q,
+            "registered_fraction": float(np.mean(
+                [r.registered for r in self.trajectory]))
+            if self.trajectory else 0.0,
+            "n_frames": len(self.trajectory),
+            "n_keyframes": self.graph.n_poses,
+            "n_closures": len(self.closures),
+            "keyframe_positions": self.graph.poses()[1].copy(),
+            "keyframe_times_us": np.asarray(self.keyframe_times, np.int64),
+            "map_patches": self.map.n_patches,
+            "timing": self.timers.summary(),
+        }
+
+    def save_checkpoint(self, dirname: str) -> None:
+        """Full-session checkpoint: frame meta + pose track + map + graph
+        (the .hdlmeta/.insmeta resume contract, SURVEY.md §5)."""
+        import os
+        os.makedirs(dirname, exist_ok=True)
+        self.frames.save_meta(os.path.join(dirname, "frames_meta.npz"))
+        self.track.save(os.path.join(dirname, "ins_track.npz"))
+        self.map.save(os.path.join(dirname, "map"))
+        self.graph.save(os.path.join(dirname, "graph.npz"))
+
+    def load_checkpoint(self, dirname: str) -> None:
+        import os
+        self.frames.load_meta(os.path.join(dirname, "frames_meta.npz"))
+        self.track = PoseTrack.load(os.path.join(dirname, "ins_track.npz"))
+        self.map = VoxelMap.load(os.path.join(dirname, "map"), self.cfg.map)
+        self.graph = PoseGraph.load(os.path.join(dirname, "graph.npz"))
