@@ -1,0 +1,89 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from veloslam_tpu.config import MeshConfig
+from veloslam_tpu.core import se3
+from veloslam_tpu.decode import calibration
+from veloslam_tpu.decode.decode import DeviceCalib, decode_packets
+from veloslam_tpu.graph.posegraph import PoseGraph
+from veloslam_tpu.io import packets as pk
+from veloslam_tpu.io import simulate as sim
+from veloslam_tpu.parallel import mesh as mesh_mod
+from veloslam_tpu.parallel import sharded
+from veloslam_tpu.registration import gicp
+
+from test_graph import _noisy_circle_graph  # noqa: E402
+from test_registration import _pad, _static_scan  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return mesh_mod.make_mesh(MeshConfig(data_axis=2, map_axis=4))
+
+
+@pytest.fixture(scope="module")
+def world():
+    return sim.World.demo(seed=5, n_posts=30, n_walls=10)
+
+
+def test_sharded_register_matches_single_device(mesh8, world):
+    """Map-sharded registration must agree with the single-device solver."""
+    tgt = _static_scan(world, np.array([0.0, 0.0, 2.0]), 0.0)
+    t_gt = np.array([0.1, 0.4, 0.03], np.float32)
+    src = _static_scan(world, np.array([0.0, 0.0, 2.0]) + t_gt,
+                       np.deg2rad(2.0))
+    P = 32768
+    tp, tm = _pad(tgt, P)
+    sp, sm = _pad(src, P)
+    grid = gicp.build_plane_grid(tp, tm, np.zeros(3), 1.0, capacity=8192)
+
+    res_single = gicp.register(sp, sm, grid, se3.Pose.identity(),
+                               iterations=16)
+    # place grid rows across the "map" axis
+    from jax.sharding import NamedSharding
+    specs = sharded.plane_grid_specs("map")
+    grid_sharded = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh8, s)), grid, specs)
+    res_sharded = sharded.register_sharded(mesh8, sp, sm, grid_sharded,
+                                           se3.Pose.identity(),
+                                           iterations=16)
+    np.testing.assert_allclose(np.asarray(res_sharded.pose.t),
+                               np.asarray(res_single.pose.t), atol=2e-3)
+    assert int(res_sharded.n_matched) == int(res_single.n_matched)
+    np.testing.assert_allclose(np.asarray(res_sharded.pose.t), t_gt,
+                               atol=0.05)
+
+
+def test_sharded_decode_matches_single(mesh8):
+    seq = sim.generate_sequence(duration_s=0.1, model="hdl32", seed=2)
+    pkts = seq["packets"][:64]
+    cal = DeviceCalib.from_host(calibration.hdl32())
+    xyz_sharded = sharded.decode_packets_sharded(
+        mesh8, jnp.asarray(pkts), cal, model="hdl32")
+    xyz_single = decode_packets(jnp.asarray(pkts), cal, model="hdl32").xyz
+    np.testing.assert_allclose(np.asarray(xyz_sharded),
+                               np.asarray(xyz_single), atol=1e-5)
+
+
+def test_sharded_graph_step_matches_single(mesh8):
+    rng = np.random.default_rng(3)
+    g, true = _noisy_circle_graph(rng, n=24, drift=0.03, yaw_drift=0.01,
+                                  max_poses=32, max_edges=64)
+    from veloslam_tpu.graph.posegraph import relative_pose_measurement
+    rel_q, rel_t = relative_pose_measurement(true[23], true[0])
+    g.add_edge(23, 0, rel_q, rel_t, info=(1000.0,) * 6)
+    arrays = g.arrays()
+
+    from veloslam_tpu.graph import optimize
+    single, _ = optimize.solve(arrays, max_poses=g.K, iterations=1)
+    stepped, cost = sharded.solve_graph_step_sharded(mesh8, arrays,
+                                                     max_poses=g.K)
+    np.testing.assert_allclose(np.asarray(stepped.t), np.asarray(single.t),
+                               atol=1e-3)
+    assert float(cost) > 0

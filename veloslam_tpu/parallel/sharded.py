@@ -1,0 +1,174 @@
+"""shard_map SLAM kernels: map-sharded registration, data-parallel decode,
+edge-sharded pose-graph assembly.
+
+The recipe (scaling-book style): pick the mesh, annotate shardings, let XLA
+insert collectives.
+
+  * Registration — "shard the map, replicate the scan, psum the normal
+    equations": the sorted voxel table partitions into contiguous key
+    ranges per device; every device matches the (replicated) scan against
+    its shard and contributes a partial 6×6 H / 6-vector b, reduced with a
+    single tiny psum per GN iteration.  Communication per iteration: 42
+    floats — the ICI cost of distributing SLAM registration is nil.
+  * Decode — packets are embarrassingly parallel: shard the packet axis.
+  * Pose graph — edges shard across devices; each device assembles partial
+    dense normal equations, psum'd before the replicated solve (the solve
+    itself is small: 6K × 6K).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from veloslam_tpu.core import se3
+from veloslam_tpu.decode.decode import DeviceCalib, decode_packets
+from veloslam_tpu.graph.optimize import _assemble_pose_system
+from veloslam_tpu.graph.posegraph import GraphArrays
+from veloslam_tpu.registration import gicp
+from veloslam_tpu.registration.gicp import PlaneGrid
+
+
+# --- map-sharded GICP --------------------------------------------------------
+
+def plane_grid_specs(axis: str = "map") -> PlaneGrid:
+    """PartitionSpecs for a PlaneGrid sharded by voxel rows."""
+    from veloslam_tpu.registration.voxel import VoxelGrid
+    return PlaneGrid(
+        grid=VoxelGrid(keys=P(axis), count=P(axis), mean=P(axis),
+                       cov=P(axis), origin=P(), voxel_size=P()),
+        normal=P(axis), usable=P(axis))
+
+
+def sharded_normal_equations(mesh: Mesh, pts, mask, pose: se3.Pose,
+                             target: PlaneGrid, *, huber_delta=0.5,
+                             max_dist=2.0):
+    """One linearization with the target grid sharded over the "map" axis."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), plane_grid_specs("map")),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False)
+    def f(pts_, mask_, q_, t_, shard: PlaneGrid):
+        H, b, err, n = gicp.normal_equations(
+            pts_, mask_, se3.Pose(q_, t_), shard,
+            huber_delta=huber_delta, max_dist=max_dist)
+        # err is a per-shard mean; convert to sum for exact reduction
+        w_sum = n.astype(err.dtype)
+        return (jax.lax.psum(H, "map"), jax.lax.psum(b, "map"),
+                jax.lax.psum(err * w_sum, "map"),
+                jax.lax.psum(n, "map"))
+
+    H, b, err_sum, n = f(pts, mask, pose.q, pose.t, target)
+    err = err_sum / jnp.maximum(n.astype(err_sum.dtype), 1.0)
+    return H, b, err, n
+
+
+def register_sharded(mesh: Mesh, pts, mask, target: PlaneGrid,
+                     init_pose: se3.Pose, *, iterations: int = 16,
+                     damping: float = 1e-6, huber_delta: float = 0.5,
+                     max_dist: float = 2.0) -> gicp.GicpResult:
+    """Gauss-Newton registration against a map-sharded target grid.
+
+    Same contract as gicp.register; the scan is replicated, the map is
+    sharded, and each iteration reduces one (6,6)+(6,) psum.
+    """
+
+    # Device arrays flow through as jit arguments (axon: never close over
+    # committed arrays).
+    def run(pts_, mask_, target_, init_q, init_t):
+        def body(_, state):
+            pose, _, _ = state
+            H, b, err, n_hit = sharded_normal_equations(
+                mesh, pts_, mask_, pose, target_, huber_delta=huber_delta,
+                max_dist=max_dist)
+            Hd = H + (damping + 1e-6 * jnp.trace(H)) * jnp.eye(6,
+                                                              dtype=H.dtype)
+            delta = -jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hd), b)
+            ok = jnp.all(jnp.isfinite(delta)) & (n_hit > 10)
+            delta = jnp.where(ok, delta, 0.0)
+            tn = jnp.linalg.norm(delta[3:])
+            rn = jnp.linalg.norm(delta[:3])
+            scale = jnp.minimum(1.0, jnp.minimum(
+                1.0 / jnp.maximum(tn, 1e-12), 0.3 / jnp.maximum(rn, 1e-12)))
+            return se3.retract(pose, delta * scale), err, n_hit
+
+        pose, err, n_hit = jax.lax.fori_loop(
+            0, iterations, body,
+            (se3.Pose(init_q, init_t), jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+        return pose.q, pose.t, err, n_hit
+
+    q, t, err, n_hit = jax.jit(run)(pts, mask, target, init_pose.q,
+                                    init_pose.t)
+    return gicp.GicpResult(pose=se3.Pose(q, t), n_matched=n_hit,
+                           mean_error=err,
+                           iterations=jnp.asarray(iterations, jnp.int32))
+
+
+# --- data-parallel decode ----------------------------------------------------
+
+def decode_packets_sharded(mesh: Mesh, pkts_u8, calib: DeviceCalib, *,
+                           model: str):
+    """decode_packets with the packet axis sharded over "data".
+
+    Packets are independent (the azimuth-rate median is per-packet), so
+    this is pure data parallelism; frame segmentation afterwards runs on
+    the gathered azimuth array (tiny).
+    """
+
+    calib_specs = DeviceCalib(*([P()] * len(calib)))
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P("data"), calib_specs),
+                       out_specs=P("data"), check_vma=False)
+    def f(pk_shard, calib_):
+        return decode_packets(pk_shard, calib_, model=model).xyz
+
+    return f(pkts_u8, calib)
+
+
+# --- edge-sharded pose-graph assembly ----------------------------------------
+
+def solve_graph_step_sharded(mesh: Mesh, g: GraphArrays, *, max_poses: int,
+                             damping: float = 1e-4,
+                             prior_weight: float = 1e6):
+    """One distributed Gauss-Newton step: edges sharded over "map", dense
+    normal equations psum-reduced, replicated solve, retract."""
+    K = max_poses
+
+    edge_specs = GraphArrays(
+        q=P(), t=P(), n_poses=P(),
+        e_i=P("map"), e_j=P("map"), e_q=P("map"), e_t=P("map"),
+        e_info=P("map"), e_valid=P("map"),
+        l_pos=P(), n_landmarks=P(), o_i=P(), o_l=P(), o_z=P(),
+        o_info=P(), o_valid=P())
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(edge_specs,),
+                       out_specs=(P(), P(), P()), check_vma=False)
+    def assemble(g_shard: GraphArrays):
+        H, b, cost = _assemble_pose_system(g_shard, K)
+        return (jax.lax.psum(H, "map"), jax.lax.psum(b, "map"),
+                jax.lax.psum(cost, "map"))
+
+    def step(g_in: GraphArrays):
+        H, b, cost = assemble(g_in)
+        diag = jnp.arange(6 * K)
+        H = H.at[diag, diag].add(damping)
+        H = H.at[jnp.arange(6), jnp.arange(6)].add(prior_weight)
+        delta = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H), b)
+        delta = delta.reshape(K, 6)
+        mask = (jnp.arange(K) < g_in.n_poses)[:, None]
+        new = se3.retract(se3.Pose(g_in.q, g_in.t),
+                          jnp.where(mask, delta, 0.0))
+        return g_in._replace(q=new.q, t=new.t), cost
+
+    return jax.jit(step)(g)

@@ -22,7 +22,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-INVALID_KEY = jnp.int32(2**31 - 1)
+# Sentinel for missing/invalid voxel keys.  Deliberately a Python int, NOT
+# a module-level jnp scalar: a device array created at import time and
+# captured as a jit constant degrades every subsequent dispatch ~500x on
+# the tunneled axon TPU backend (measured: 0.03 ms -> 27 ms per call).
+INVALID_KEY = 2**31 - 1
 
 
 class VoxelGrid(NamedTuple):
