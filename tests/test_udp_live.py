@@ -1,0 +1,181 @@
+"""Loopback fake-backend tests — the reference's multi-node-without-
+hardware pattern (SURVEY.md §4.2): senders replay simulated data over
+localhost UDP; the real ingest stack consumes it."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from veloslam_tpu import constants as C
+from veloslam_tpu.core import timesync
+from veloslam_tpu.io import native, packets as pk, simulate as sim
+from veloslam_tpu.io.udp import UdpReceiver, replay_packets, send_struct
+
+LIDAR_PORT = 42368
+INS_PORT = 46777
+
+
+def test_native_library_builds():
+    lib = native.load()
+    assert lib is not None, "C++ packet pump failed to build"
+
+
+def test_native_pcap_matches_python(tmp_path):
+    seq = sim.generate_sequence(duration_s=0.1, model="hdl32", seed=1)
+    paths = sim.write_sequence(seq, str(tmp_path), name="x")
+    from veloslam_tpu.io import pcap as pcap_mod
+    # native path (read_lidar_packets prefers it)
+    a_p, a_t, a_o = pcap_mod.read_lidar_packets(paths["pcap"])
+    # pure-python parser
+    pkts, times, offsets = [], [], []
+    with pcap_mod.PcapReader(paths["pcap"]) as r:
+        for pl, t, off in r:
+            if len(pl) == C.HDL_PACKET_BYTES:
+                pkts.append(pl)
+                times.append(t)
+                offsets.append(off)
+    b_p = np.frombuffer(b"".join(pkts), np.uint8).reshape(len(pkts), -1)
+    np.testing.assert_array_equal(a_p, b_p)
+    np.testing.assert_array_equal(a_t, np.asarray(times))
+    np.testing.assert_array_equal(a_o, np.asarray(offsets))
+
+
+def test_native_pcap_write_roundtrip(tmp_path):
+    lib = native.load()
+    assert lib is not None
+    import ctypes
+    rng = np.random.default_rng(0)
+    pkts = rng.integers(0, 256, (20, C.HDL_PACKET_BYTES)).astype(np.uint8)
+    times = (1_700_000_000_000_000 + np.arange(20) * 553).astype(np.int64)
+    path = str(tmp_path / "w.pcap")
+    n = lib.pp_write_pcap(
+        path.encode(),
+        pkts.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        times.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        20, C.HDL_PACKET_BYTES, C.LIDAR_DATA_PORT)
+    assert n == 20
+    from veloslam_tpu.io.pcap import read_lidar_packets
+    rp, rt, _ = read_lidar_packets(path)
+    np.testing.assert_array_equal(rp, pkts)
+    np.testing.assert_array_equal(rt, times)
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_udp_loopback_roundtrip(force_python):
+    rng = np.random.default_rng(1)
+    pkts = rng.integers(0, 256, (50, C.HDL_PACKET_BYTES)).astype(np.uint8)
+    port = LIDAR_PORT + (1 if force_python else 0)
+    with UdpReceiver(port, C.HDL_PACKET_BYTES,
+                     force_python=force_python) as rx:
+        sent = replay_packets(pkts, "127.0.0.1", port, pace_us=50,
+                              force_python=force_python)
+        assert sent == 50
+        got, times = np.empty((0, C.HDL_PACKET_BYTES), np.uint8), None
+        deadline = time.time() + 3.0
+        chunks = []
+        total = 0
+        while total < 50 and time.time() < deadline:
+            p, t = rx.poll()
+            if len(p):
+                chunks.append(p)
+                total += len(p)
+            else:
+                time.sleep(0.01)
+    assert total == 50, f"received {total}/50"
+    got = np.concatenate(chunks)
+    np.testing.assert_array_equal(got, pkts)
+
+
+def test_ins_struct_loopback():
+    with UdpReceiver(INS_PORT, pk.INSPVA_BYTES) as rx:
+        payload = pk.pack_inspva(2380, 1000, 2380, 1.0,
+                                 (31.0, 121.5, 10.0), (1, 0, 0),
+                                 (0, 0, 45.0))
+        send_struct(payload, "127.0.0.1", INS_PORT)
+        deadline = time.time() + 2.0
+        got = None
+        while got is None and time.time() < deadline:
+            p, _ = rx.poll()
+            if len(p):
+                got = p[0]
+            else:
+                time.sleep(0.01)
+    assert got is not None
+    msg = pk.unpack_inspva(got.tobytes())
+    assert msg["message_id"] == C.INS_MSG_INSPVA
+    np.testing.assert_allclose(msg["llh_deg"], (31.0, 121.5, 10.0))
+
+
+def test_online_pipeline_loopback():
+    """Full live path: replay a simulated drive (LiDAR pcap packets +
+    InsPVA stream) over localhost; run_online must produce frames and
+    track the trajectory — the reference's SlamMain flow, headless."""
+    from veloslam_tpu.config import (PipelineConfig, RegistrationConfig,
+                                     SensorConfig, SlamConfig)
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    seq = sim.generate_sequence(duration_s=0.8, model="hdl32", seed=17,
+                                world=sim.World.demo(3))
+    lidar_port, ins_port = 42400, 42401
+
+    from veloslam_tpu.core import geodesy
+    origin_llh = np.array([np.deg2rad(31.0), np.deg2rad(121.5), 0.0])
+    org_xyz = geodesy.llh2xyz_np(origin_llh)
+
+    def send_ins():
+        # InsPVA stream: ENU ground truth re-encoded as LLH against the
+        # shared origin, timestamps on the simulated GPS clock
+        # (TestINSSender parity, TestINSSender.cxx:52-76)
+        for t_us, p, yaw, v in zip(seq["ins_t_us"], seq["ins_pos"],
+                                   seq["ins_yaw"], seq["ins_vel"]):
+            gps_us = int(t_us) - timesync.GPS_EPOCH_UNIX_US
+            week = gps_us // timesync.WEEK_US
+            llh = geodesy.enu2llh_np(np.asarray(p, float), org_xyz)
+            payload = pk.pack_inspva(
+                int(week), int((gps_us % timesync.WEEK_US) // 1000),
+                int(week), (gps_us % timesync.WEEK_US) / 1e6,
+                (np.rad2deg(llh[0]), np.rad2deg(llh[1]), llh[2]),
+                tuple(np.asarray(v, float)),
+                (0.0, 0.0, float(np.rad2deg(yaw))))
+            send_struct(payload, "127.0.0.1", ins_port)
+            time.sleep(0.002)
+
+    def send_lidar():
+        time.sleep(0.3)                     # let INS lead (prior track)
+        replay_packets(seq["packets"], "127.0.0.1", lidar_port, pace_us=100)
+
+    cfg = SlamConfig(sensor=SensorConfig(model="hdl32"),
+                     pipeline=PipelineConfig(packets_per_batch=128),
+                     registration=RegistrationConfig(max_points=16384,
+                                                     max_iterations=8))
+    # Pre-warm the jit cache (shared per process) so live-loop timing is
+    # about streaming, not first-compile latency.
+    warm = SlamPipeline(cfg)
+    for t_us, p, yaw, v in zip(seq["ins_t_us"][:30], seq["ins_pos"][:30],
+                               seq["ins_yaw"][:30], seq["ins_vel"][:30]):
+        from veloslam_tpu.core import se3 as _se3
+        warm.feed_ins_pose(int(t_us),
+                           np.asarray(_se3.euler_deg_to_quat(0, 0, 0)),
+                           np.asarray(p, float), v)
+    warm.process_packets(seq["packets"][:128], seq["pkt_times_us"][:128])
+    warm.process_packets(seq["packets"][128:256],
+                         seq["pkt_times_us"][128:256])
+
+    pipe = SlamPipeline(cfg)
+    t1 = threading.Thread(target=send_ins, daemon=True)
+    t2 = threading.Thread(target=send_lidar, daemon=True)
+    t1.start()
+    t2.start()
+    res = pipe.run_online(lidar_port=lidar_port, ins_port=ins_port,
+                          origin_llh_deg=(31.0, 121.5, 0.0),
+                          duration_s=12.0, idle_timeout_s=2.5)
+    t1.join(timeout=5)
+    t2.join(timeout=5)
+    assert res["n_frames"] >= 3, res["n_frames"]
+    # messages sent before run_online binds the port are lost (realistic
+    # startup behavior); most of the 81-message stream must arrive
+    assert len(pipe.track) >= 40, len(pipe.track)
+    # positions should be in the vicinity of the INS trajectory origin
+    assert np.all(np.isfinite(res["positions"]))

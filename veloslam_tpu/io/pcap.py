@@ -141,7 +141,29 @@ def read_lidar_packets(path: str, max_packets: Optional[int] = None
     offsets (N,) int64 — record byte offsets for random re-reads, the
     analog of the reference's frame (fpos, skip) index,
     HDLParser.cxx:1065-1160).
+
+    Uses the C++ packet pump when available; falls back to the Python
+    record parser.
     """
+    from veloslam_tpu.io import native
+    lib = native.load()
+    if lib is not None:
+        import ctypes
+        cap = lib.pp_count_packets(path.encode(), C.HDL_PACKET_BYTES)
+        if cap < 0:
+            raise ValueError(f"{path}: unreadable pcap")
+        if max_packets is not None:
+            cap = min(cap, max_packets)
+        out = np.empty((cap, C.HDL_PACKET_BYTES), np.uint8)
+        times = np.empty(cap, np.int64)
+        offs = np.empty(cap, np.int64)
+        n = lib.pp_read_packets(
+            path.encode(), C.HDL_PACKET_BYTES,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            times.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)), cap)
+        if n >= 0:
+            return out[:n], times[:n], offs[:n]
     pkts: List[bytes] = []
     times: List[int] = []
     offsets: List[int] = []

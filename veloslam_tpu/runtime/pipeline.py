@@ -162,6 +162,76 @@ class SlamPipeline:
             self.process_packets(pkts[s:s + B], times[s:s + B])
         return self.results()
 
+    def run_online(self, lidar_port: int = None, ins_port: int = None,
+                   origin_llh_deg=None, duration_s: Optional[float] = None,
+                   idle_timeout_s: float = 2.0) -> Dict:
+        """Live acquisition (startOnline equivalent, HDLManager.h:111):
+        UDP LiDAR + INS ingest until `duration_s` elapses or the stream
+        goes idle.  HDL µs-into-hour stamps resolve against the INS time
+        base when available (TimeSolver semantics, TimeSolver.cxx:33-49),
+        else the wall clock."""
+        import time as _time
+
+        from veloslam_tpu import constants as C
+        from veloslam_tpu.core import timesync
+        from veloslam_tpu.io import packets as pkmod
+        from veloslam_tpu.io.ins import InsConverter
+        from veloslam_tpu.io.udp import UdpReceiver
+
+        lidar_port = lidar_port or C.LIDAR_DATA_PORT
+        ins_port = ins_port or C.INS_PORT
+        conv = InsConverter(origin_llh_deg)
+        clock = timesync.HdlClock()
+        B = self.cfg.pipeline.packets_per_batch
+        buf: List[np.ndarray] = []
+        buf_times: List[np.ndarray] = []
+        buffered = 0
+        first_ins_us: Optional[int] = None
+        t_start = _time.monotonic()
+        last_rx = t_start
+
+        with UdpReceiver(lidar_port, C.HDL_PACKET_BYTES) as hdl_rx, \
+                UdpReceiver(ins_port, pkmod.INSPVA_BYTES) as ins_rx:
+            while True:
+                now = _time.monotonic()
+                if duration_s is not None and now - t_start > duration_s:
+                    break
+                if now - last_rx > idle_timeout_s:
+                    break
+                ins_pkts, _ = ins_rx.poll()
+                for raw in ins_pkts:
+                    msg = pkmod.unpack_inspva(raw.tobytes())
+                    if msg["message_id"] != C.INS_MSG_INSPVA:
+                        continue
+                    t_us, q, t3, v = conv.convert(msg)
+                    if first_ins_us is None:
+                        first_ins_us = t_us
+                    self.feed_ins_pose(t_us, q, t3, v)
+                pkts, rx_times = hdl_rx.poll()
+                if len(pkts) or len(ins_pkts):
+                    last_rx = now
+                if len(pkts):
+                    # Resolve GPS µs-into-hour stamps to absolute time.
+                    fields = pkmod.decode_lidar_packets_np(pkts)
+                    resolved = np.empty(len(pkts), np.int64)
+                    for i, g in enumerate(fields["gps_us"]):
+                        ref = (first_ins_us if first_ins_us is not None
+                               else int(rx_times[i]))
+                        resolved[i] = clock.resolve(int(g), ref_time_us=ref)
+                    buf.append(pkts)
+                    buf_times.append(resolved)
+                    buffered += len(pkts)
+                    while buffered >= B:
+                        allp = np.concatenate(buf)
+                        allt = np.concatenate(buf_times)
+                        self.process_packets(allp[:B], allt[:B])
+                        buf = [allp[B:]]
+                        buf_times = [allt[B:]]
+                        buffered -= B
+                else:
+                    _time.sleep(0.005)
+        return self.results()
+
     # --- per-frame SLAM loop ------------------------------------------------
 
     def _ins_pose_at(self, t_us: int) -> Optional[se3.Pose]:
