@@ -31,7 +31,13 @@ class SensorConfig:
     # Matches the semantics of reference HDLParser.cxx:629-639.
     crop_region: Optional[Tuple[float, float, float, float, float, float]] = None
     crop_inside: bool = False    # True: drop inside region; False: keep inside
-    # Static bound on firings per revolution (type_defs.h:20).
+    # Dual-return selection: None keeps both returns; "near"/"far"/
+    # "high"/"low" keeps one member per pair (reference setDualReturnFilter,
+    # HDLParser.h:101-124; flag semantics HDLParser.h:75-81).
+    dual_return_filter: Optional[str] = None
+    # Static bound on firings per revolution (type_defs.h:20).  Dual-return
+    # streams double the firing positions per revolution — raise this to
+    # ~4400 when keeping both returns.
     max_firings_per_frame: int = C.MAX_FIRINGS_PER_FRAME
 
     @property

@@ -210,6 +210,87 @@ def decode_packets(pkts_u8: jax.Array, calib: DeviceCalib, *, model: str,
                         subfiring=subfiring)
 
 
+def dual_return_flags(decoded: DecodedBatch):
+    """Per-point dual-return classification (batch-local).
+
+    Dual-return sensors emit each firing twice with identical azimuth; the
+    reference detects this by comparing consecutive block azimuths
+    (HDLParser.cxx:908) and tags points with near/far and high/low-
+    intensity flags (mask constants HDLParser.h:75-81).  Vectorized over
+    the flattened block axis:
+
+    Returns (dist_flag, int_flag, is_dual) with shapes (N, 12, 32):
+      dist_flag: -1 nearer return, +1 farther, 0 single/equal;
+      int_flag:  +1 higher intensity, -1 lower, 0 single/equal;
+      is_dual:   True on both members of a dual pair.
+    Pairs spanning a batch boundary are treated as single returns (the
+    pipeline's batch size makes this a ≤1-firing effect per batch).
+    """
+    n = decoded.xyz.shape[0]
+    shape = (n * C.HDL_FIRINGS_PER_PACKET, C.HDL_LASERS_PER_FIRING)
+    az = decoded.az_ticks.reshape(-1)
+    dist = decoded.dist_m.reshape(shape)
+    inten = decoded.intensity.reshape(shape)
+    prev_az = jnp.concatenate([jnp.full((1,), -1, az.dtype), az[:-1]])
+    next_az = jnp.concatenate([az[1:], jnp.full((1,), -1, az.dtype)])
+    second = az == prev_az                    # this block repeats previous
+    first = az == next_az                     # next block repeats this one
+    is_dual = (first | second)[:, None] & jnp.ones(shape, bool)
+    # a pair is only "dual" where both members actually returned —
+    # otherwise the surviving member must count as a single return
+    valid = decoded.valid.reshape(shape)
+    other_valid = jnp.where(second[:, None], jnp.roll(valid, 1, axis=0),
+                            jnp.roll(valid, -1, axis=0))
+    is_dual &= valid & other_valid
+
+    other_dist = jnp.where(second[:, None],
+                           jnp.roll(dist, 1, axis=0),
+                           jnp.roll(dist, -1, axis=0))
+    other_int = jnp.where(second[:, None],
+                          jnp.roll(inten, 1, axis=0),
+                          jnp.roll(inten, -1, axis=0))
+    dist_flag = jnp.where(~is_dual, 0,
+                          jnp.where(dist < other_dist, -1,
+                                    jnp.where(dist > other_dist, 1, 0)))
+    int_flag = jnp.where(~is_dual, 0,
+                         jnp.where(inten > other_int, 1,
+                                   jnp.where(inten < other_int, -1, 0)))
+    rs = lambda a: a.reshape(n, C.HDL_FIRINGS_PER_PACKET,
+                             C.HDL_LASERS_PER_FIRING)
+    return (rs(dist_flag.astype(jnp.int8)), rs(int_flag.astype(jnp.int8)),
+            rs(is_dual))
+
+
+def apply_dual_return_filter(decoded: DecodedBatch, mode: str
+                             ) -> DecodedBatch:
+    """Keep one member of each dual pair (setDualReturnFilter equivalent,
+    HDLParser.h:101-124 config surface).
+
+    mode: "near" | "far" | "high" | "low".  Single returns always pass;
+    exact-duplicate pairs (equal distance and intensity) keep only their
+    first member (reference duplicate-drop, HDLParser.cxx:659-663).
+    """
+    dist_flag, int_flag, is_dual = dual_return_flags(decoded)
+    az = decoded.az_ticks.reshape(-1)
+    prev_az = jnp.concatenate([jnp.full((1,), -1, az.dtype), az[:-1]])
+    second = (az == prev_az).reshape(is_dual.shape[:2])[..., None]
+    if mode == "near":
+        keep = dist_flag == -1
+    elif mode == "far":
+        keep = dist_flag == 1
+    elif mode == "high":
+        keep = int_flag == 1
+    elif mode == "low":
+        keep = int_flag == -1
+    else:
+        raise ValueError(f"unknown dual-return filter {mode!r}")
+    # ties (flag 0 within a dual pair): keep the first member only
+    tie = is_dual & (dist_flag == 0) & (int_flag == 0)
+    keep = jnp.where(tie, ~second, keep)
+    valid = decoded.valid & jnp.where(is_dual, keep, True)
+    return decoded._replace(valid=valid)
+
+
 def frame_break_flags(az_ticks: jax.Array, last_azimuth: jax.Array):
     """Azimuth-wrap frame segmentation as a parallel comparison.
 

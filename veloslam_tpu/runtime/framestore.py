@@ -127,7 +127,33 @@ class FrameStore:
 
     # --- meta checkpoint (saveHDLMeta/loadHDLMeta contract) ------------------
 
-    def save_meta(self, path: str) -> None:
+    def spill_all(self, target_dir: Optional[str] = None) -> None:
+        """Persist every frame to `target_dir` (default: the spill dir) so
+        a checkpoint is complete — the reference never needs this because
+        raw packets are always on disk; here decoded frames are the
+        artifact.  Already-spilled frames are copied when targeting a
+        different directory."""
+        target = target_dir or self.spill_dir
+        if target is None:
+            return
+        os.makedirs(target, exist_ok=True)
+        for t, frame in self._frames.items():
+            path = os.path.join(target, f"frame_{t}.npz")
+            if not os.path.exists(path):
+                np.savez_compressed(path, **frame)
+            if t not in self._spilled:
+                self._spilled[t] = path
+        if target_dir is not None:
+            import shutil
+            for t, src in list(self._spilled.items()):
+                dst = os.path.join(target, f"frame_{t}.npz")
+                if os.path.abspath(src) != os.path.abspath(dst) and \
+                        not os.path.exists(dst):
+                    shutil.copyfile(src, dst)
+
+    def save_meta(self, path: str,
+                  frames_dir: Optional[str] = None) -> None:
+        self.spill_all(frames_dir)
         self._meta.save(path)
 
     def load_meta(self, path: str, spill_dir: Optional[str] = None) -> None:

@@ -117,6 +117,10 @@ class SlamPipeline:
                                  crop_region=sc.crop_region,
                                  crop_inside=sc.crop_inside,
                                  points_skip=pc.points_skip)
+            if sc.dual_return_filter is not None:
+                from veloslam_tpu.decode.decode import \
+                    apply_dual_return_filter
+                dec = apply_dual_return_filter(dec, sc.dual_return_filter)
         if len(self.track) > 0:
             with self.timers.stage("compensate"):
                 w = self.track.window(int(times_us[0]), int(times_us[-1]),
@@ -407,14 +411,16 @@ class SlamPipeline:
         (the .hdlmeta/.insmeta resume contract, SURVEY.md §5)."""
         import os
         os.makedirs(dirname, exist_ok=True)
-        self.frames.save_meta(os.path.join(dirname, "frames_meta.npz"))
+        self.frames.save_meta(os.path.join(dirname, "frames_meta.npz"),
+                              frames_dir=os.path.join(dirname, "frames"))
         self.track.save(os.path.join(dirname, "ins_track.npz"))
         self.map.save(os.path.join(dirname, "map"))
         self.graph.save(os.path.join(dirname, "graph.npz"))
 
     def load_checkpoint(self, dirname: str) -> None:
         import os
-        self.frames.load_meta(os.path.join(dirname, "frames_meta.npz"))
+        self.frames.load_meta(os.path.join(dirname, "frames_meta.npz"),
+                              spill_dir=os.path.join(dirname, "frames"))
         self.track = PoseTrack.load(os.path.join(dirname, "ins_track.npz"))
         self.map = VoxelMap.load(os.path.join(dirname, "map"), self.cfg.map)
         self.graph = PoseGraph.load(os.path.join(dirname, "graph.npz"))
