@@ -81,10 +81,14 @@ def build_plane_grid(pts: jax.Array, mask: jax.Array, origin, voxel_size, *,
 
 def normal_equations(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
                      target: PlaneGrid, *, huber_delta: float = 0.5,
-                     max_dist: float = 2.0):
+                     max_dist: float = 2.0, use_pallas: bool = False,
+                     pallas_interpret: bool = False):
     """One linearization: (H (6,6), b (6,), err (), n_matched ()).
 
     Residual r = nᵀ(p′ − μ); left-perturbation Jacobian J = [(p′ × n)ᵀ, nᵀ].
+    With use_pallas the J-formation + reduction runs as a fused VMEM
+    kernel (registration.pallas_kernels) instead of materializing the
+    (P, 6) Jacobian through HBM.
     """
     g = target.grid
     p = se3.apply(pose, pts)
@@ -101,6 +105,22 @@ def normal_equations(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
                   huber_delta / jnp.maximum(absr, 1e-12))
     w = jnp.where(hit, w, 0.0)
 
+    if use_pallas:
+        from veloslam_tpu.registration.pallas_kernels import (
+            TILE, fused_normal_equations)
+        # Interpreter mode off-TPU (CI runs the same code path on CPU).
+        pallas_interpret = pallas_interpret or jax.default_backend() != "tpu"
+        P = p.shape[0]
+        pad = (-P) % TILE
+        rows = jnp.stack([p[:, 0], p[:, 1], p[:, 2],
+                          n[:, 0], n[:, 1], n[:, 2], r, w])
+        if pad:
+            rows = jnp.pad(rows, ((0, 0), (0, pad)))
+        H, b, err_sum, n_hit, w_sum = fused_normal_equations(
+            rows, interpret=pallas_interpret)
+        err = err_sum / jnp.maximum(w_sum, 1.0)
+        return H, b, err, n_hit
+
     J = jnp.concatenate([jnp.cross(p, n), n], axis=-1)       # (P, 6)
     Jw = J * w[:, None]
     H = jnp.einsum("pi,pj->ij", Jw, J)                       # MXU
@@ -109,11 +129,11 @@ def normal_equations(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
     return H, b, err, hit.sum().astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+@functools.partial(jax.jit, static_argnames=("iterations", "use_pallas"))
 def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
              init_pose: se3.Pose, *, iterations: int = 16,
              damping: float = 1e-6, huber_delta: float = 0.5,
-             max_dist: float = 2.0) -> GicpResult:
+             max_dist: float = 2.0, use_pallas: bool = False) -> GicpResult:
     """Gauss-Newton point-to-plane registration of a source scan against a
     target plane grid.  Fixed iteration count (static shapes); convergence
     is reflected in `mean_error`, not in early exit."""
@@ -122,7 +142,7 @@ def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
         pose, _, _ = state
         H, b, err, n_hit = normal_equations(
             pts, mask, pose, target, huber_delta=huber_delta,
-            max_dist=max_dist)
+            max_dist=max_dist, use_pallas=use_pallas)
         Hd = H + damping * jnp.eye(6, dtype=H.dtype) \
             + 1e-6 * jnp.trace(H) * jnp.eye(6, dtype=H.dtype)
         delta = -jax.scipy.linalg.cho_solve(

@@ -384,6 +384,33 @@ class SlamPipeline:
             self.graph.update_from(np.asarray(out.q)[:self.graph.n_poses],
                                    np.asarray(out.t)[:self.graph.n_poses])
 
+    def rebuild_map(self) -> None:
+        """Re-integrate all keyframe scans with their optimized graph poses
+        into a fresh map — run after loop closures so the map reflects the
+        corrected trajectory (the reference has no equivalent; its map
+        layer has no producers)."""
+        q, t = self.graph.poses()
+        fresh = VoxelMap(self.cfg.map, spill_dir=self.map.spill_dir)
+        for k, (pts, mask) in enumerate(self.keyframe_scans):
+            pose = _np_pose(q[k], t[k])
+            pts_w = np.asarray(se3.apply(pose, jnp.asarray(pts)))
+            fresh.integrate_points(pts_w, mask, center=t[k])
+        self.map = fresh
+
+    def finalize(self) -> Dict:
+        """End-of-session pass: final loop-closure sweep, graph solve, map
+        rebuild.  Returns results() including the optimized keyframe
+        trajectory."""
+        self._try_loop_closure()
+        if self.graph.n_edges > self.graph.n_poses - 1:
+            out, _ = optimize.solve(self.graph.arrays(),
+                                    max_poses=self.graph.K,
+                                    iterations=self.cfg.graph.gn_iterations)
+            self.graph.update_from(np.asarray(out.q)[:self.graph.n_poses],
+                                   np.asarray(out.t)[:self.graph.n_poses])
+            self.rebuild_map()
+        return self.results()
+
     # --- outputs ------------------------------------------------------------
 
     def results(self) -> Dict:
