@@ -221,3 +221,27 @@ def test_register_identity_stays_identity(world):
     # tighten this (tracked as a quality follow-up).
     np.testing.assert_allclose(np.asarray(res.pose.t), 0.0, atol=0.05)
     assert float(res.mean_error) < 0.05
+
+
+def test_dense_index_lookup_matches_search(world):
+    """DenseIndex O(1) lookup must return the same correspondences as the
+    binary-search path, and registration through it the same pose."""
+    import jax.numpy as jnp
+    tgt = _static_scan(world, np.array([0.0, 0.0, 2.0]), 0.0)
+    src = _static_scan(world, np.array([0.1, 0.4, 2.03]), np.deg2rad(2.0))
+    P = 32768
+    tp, tm = _pad(tgt, P)
+    sp, sm = _pad(src, P)
+    grid = gicp.build_plane_grid(tp, tm, np.zeros(3), 1.0, capacity=8192)
+    dense = vx.build_dense_index(grid.grid)
+    i_search = np.asarray(vx.lookup_nearest(grid.grid, sp, sm, grid.usable))
+    i_dense = np.asarray(vx.lookup_nearest_dense(grid.grid, dense, sp, sm,
+                                                 grid.usable))
+    agree = (i_search == i_dense).mean()
+    assert agree > 0.999, agree
+
+    r0 = gicp.register(sp, sm, grid, se3.Pose.identity(), iterations=16)
+    r1 = gicp.register(sp, sm, grid, se3.Pose.identity(), iterations=16,
+                       dense=dense)
+    np.testing.assert_allclose(np.asarray(r1.pose.t), np.asarray(r0.pose.t),
+                               atol=2e-3)

@@ -1,0 +1,116 @@
+"""Scaling-efficiency harness: SLAM kernels across mesh sizes.
+
+Measures the distributed registration + pose-graph steps on meshes of
+1..N devices and reports throughput + efficiency vs the single-device
+run (the BASELINE scaling methodology: 1 chip / 1 host / N hosts).
+
+On a multi-chip slice this measures real ICI scaling.  On a single chip
+it reports N=1 only.  On CPU with --virtual N it exercises the same
+collective code paths over XLA's virtual host devices — useful for
+regression-testing the communication structure, NOT a hardware scaling
+number (virtual devices share one CPU).
+
+Multi-host usage: run under `jax.distributed.initialize()` on every host
+(e.g. via the TPU pod launcher); the mesh then spans all global devices
+and patch shards ride ICI within hosts and DCN across.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, iters=10):
+    import jax
+    out = fn(*args)
+    jax.tree.map(lambda l: l.block_until_ready()
+                 if hasattr(l, "block_until_ready") else l, out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree.map(lambda l: l.block_until_ready()
+                 if hasattr(l, "block_until_ready") else l, out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--virtual", type=int, metavar="N",
+                    help="force CPU with N virtual devices")
+    ap.add_argument("--points", type=int, default=32768)
+    ap.add_argument("--capacity", type=int, default=16384)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    import os
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from veloslam_tpu.config import MeshConfig
+    from veloslam_tpu.core import se3
+    from veloslam_tpu.io import simulate as sim
+    from veloslam_tpu.parallel import mesh as mesh_mod
+    from veloslam_tpu.parallel import sharded
+    from veloslam_tpu.registration import gicp
+
+    n_dev = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_dev]
+    print(f"devices: {n_dev} ({jax.devices()[0].platform})", file=sys.stderr)
+
+    # Fixture: registration workload (replicated scan, shardable grid).
+    world = sim.World.demo(seed=5)
+    rng = np.random.default_rng(0)
+    az = rng.uniform(0, 2 * np.pi, args.points)
+    el = np.deg2rad(rng.uniform(-30, 10, args.points))
+    dirs = np.stack([np.cos(el) * np.sin(az), np.cos(el) * np.cos(az),
+                     np.sin(el)], -1)
+    origins = np.broadcast_to([0.0, 0.0, 2.0], dirs.shape).copy()
+    dist, _ = sim.raycast(world, origins, dirs)
+    pts = (dirs * dist[:, None]).astype(np.float32)
+    mask = jnp.asarray(dist > 0)
+    pts = jnp.asarray(pts)
+    grid = gicp.build_plane_grid(pts, mask, np.zeros(3), 1.0,
+                                 capacity=args.capacity)
+
+    results = []
+    base_t = None
+    for n in sizes:
+        mesh = mesh_mod.make_mesh(MeshConfig(data_axis=1, map_axis=n))
+        specs = sharded.plane_grid_specs("map")
+        grid_sh = jax.tree.map(
+            lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+            grid, specs)
+
+        def run(p, m, g):
+            return sharded.register_sharded(mesh, p, m, g,
+                                            se3.Pose.identity(),
+                                            iterations=args.iters)
+        t = _timeit(run, pts, mask, grid_sh)
+        if base_t is None:
+            base_t = t
+        eff = base_t / t  # >1 would be speedup; fixed-size problem
+        results.append({"devices": n, "ms": round(t * 1e3, 3),
+                        "speedup": round(base_t / t, 3),
+                        "efficiency": round(base_t / t / 1.0, 3)})
+        print(f"map={n}: {t*1e3:8.3f} ms  speedup {base_t/t:5.2f}x",
+              file=sys.stderr)
+    print(json.dumps({"metric": "map_sharded_register_scaling",
+                      "platform": jax.devices()[0].platform,
+                      "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

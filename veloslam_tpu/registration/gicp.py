@@ -82,7 +82,7 @@ def build_plane_grid(pts: jax.Array, mask: jax.Array, origin, voxel_size, *,
 def normal_equations(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
                      target: PlaneGrid, *, huber_delta: float = 0.5,
                      max_dist: float = 2.0, use_pallas: bool = False,
-                     pallas_interpret: bool = False):
+                     pallas_interpret: bool = False, dense=None):
     """One linearization: (H (6,6), b (6,), err (), n_matched ()).
 
     Residual r = nᵀ(p′ − μ); left-perturbation Jacobian J = [(p′ × n)ᵀ, nᵀ].
@@ -92,7 +92,10 @@ def normal_equations(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
     """
     g = target.grid
     p = se3.apply(pose, pts)
-    idx = vx.lookup_nearest(g, p, mask, target.usable)
+    if dense is not None:
+        idx = vx.lookup_nearest_dense(g, dense, p, mask, target.usable)
+    else:
+        idx = vx.lookup_nearest(g, p, mask, target.usable)
     hit = idx >= 0
     safe = jnp.maximum(idx, 0)
     mu = g.mean[safe]
@@ -133,16 +136,20 @@ def normal_equations(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
 def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
              init_pose: se3.Pose, *, iterations: int = 16,
              damping: float = 1e-6, huber_delta: float = 0.5,
-             max_dist: float = 2.0, use_pallas: bool = False) -> GicpResult:
+             max_dist: float = 2.0, use_pallas: bool = False,
+             dense=None) -> GicpResult:
     """Gauss-Newton point-to-plane registration of a source scan against a
     target plane grid.  Fixed iteration count (static shapes); convergence
-    is reflected in `mean_error`, not in early exit."""
+    is reflected in `mean_error`, not in early exit.
+
+    `dense`: optional voxel.DenseIndex for O(1) correspondence lookup
+    (build once per target with voxel.build_dense_index)."""
 
     def body(_, state):
         pose, _, _ = state
         H, b, err, n_hit = normal_equations(
             pts, mask, pose, target, huber_delta=huber_delta,
-            max_dist=max_dist, use_pallas=use_pallas)
+            max_dist=max_dist, use_pallas=use_pallas, dense=dense)
         Hd = H + damping * jnp.eye(6, dtype=H.dtype) \
             + 1e-6 * jnp.trace(H) * jnp.eye(6, dtype=H.dtype)
         delta = -jax.scipy.linalg.cho_solve(
