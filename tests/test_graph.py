@@ -145,3 +145,67 @@ def test_graph_save_load(tmp_path):
     assert g2.n_poses == g.n_poses and g2.n_edges == g.n_edges
     assert g2.n_landmarks == 1 and g2.n_obs == 1
     np.testing.assert_allclose(g2.t[:8], g.t[:8])
+
+
+def test_landmark_association_end_to_end():
+    """Posts detected in raw scans → clustered landmarks → observations →
+    Schur solve improves a drifted trajectory (the full landmark-map
+    story the reference's MapObjects layer anticipates)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_registration import _static_scan
+    from veloslam_tpu.graph.landmark_assoc import (associate_and_add,
+                                                   extract_scan_posts)
+    from veloslam_tpu.io import simulate as sim
+
+    # world with several tall, close posts
+    rng = np.random.default_rng(2)
+    posts = np.column_stack([
+        rng.uniform(-15, 15, 10), rng.uniform(-15, 15, 10),
+        np.full(10, 0.3), np.zeros(10), np.full(10, 6.0)])
+    world = sim.World.demo(seed=9, n_posts=0, n_walls=6)
+    world.posts = posts
+
+    # keyframes along a short path, slight pose drift
+    true_poses, scans = [], []
+    for k in range(4):
+        pos = np.array([k * 1.5, 0.3 * k, 2.0])
+        yaw = 0.08 * k
+        true_poses.append((pos, yaw))
+        scans.append(_static_scan(world, pos, yaw, n_az=1800))
+
+    g = PoseGraph(max_poses=8, max_edges=16, max_landmarks=64, max_obs=256)
+    det = []
+    drift = np.array([0.0, 0.0, 0.0])
+    for k, ((pos, yaw), pts) in enumerate(zip(true_poses, scans)):
+        if k > 0:
+            drift = drift + np.array([0.08, -0.05, 0.0])   # growing error
+        q = np.asarray(se3.quat_exp(jnp.asarray([0, 0, yaw], jnp.float32)))
+        g.add_pose(q, pos + drift)
+        if k > 0:
+            pa = se3.Pose(jnp.asarray(np.asarray(
+                se3.quat_exp(jnp.asarray([0, 0, true_poses[k-1][1]],
+                                         jnp.float32)))),
+                jnp.asarray(true_poses[k-1][0], jnp.float32))
+            pb = se3.Pose(jnp.asarray(q), jnp.asarray(pos, jnp.float32))
+            rel = se3.relative(pa, pb)
+            g.add_edge(k - 1, k, np.asarray(rel.q), np.asarray(rel.t),
+                       info=(1.0,) * 6)      # weak odometry
+        mask = np.ones(len(pts), bool)
+        d = extract_scan_posts(pts, mask)
+        assert len(d) >= 2, f"keyframe {k}: too few posts detected"
+        det.append(d)
+
+    n_lm, n_obs = associate_and_add(g, det, radius=1.2)
+    assert n_lm >= 2 and n_obs >= 2 * n_lm
+
+    before = np.linalg.norm(g.t[:4] - np.asarray(
+        [p for p, _ in true_poses]), axis=1)
+    out, stats = optimize.solve_with_landmarks(
+        g.arrays(), max_poses=g.K, max_landmarks=g.M, iterations=8)
+    g.update_from(np.asarray(out.q)[:g.n_poses],
+                  np.asarray(out.t)[:g.n_poses],
+                  np.asarray(out.l_pos)[:g.n_landmarks])
+    after = np.linalg.norm(g.t[:4] - np.asarray(
+        [p for p, _ in true_poses]), axis=1)
+    assert after.mean() < before.mean() * 0.7, (before, after)

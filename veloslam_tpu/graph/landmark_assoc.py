@@ -1,0 +1,107 @@
+"""Landmark association: extracted map objects → pose-graph observations.
+
+Closes the loop the reference only sketched: its map layer defines
+landmark types but nothing produces or consumes them (SURVEY.md §0).
+Here, posts extracted from keyframe scans (map.landmarks.extract_posts)
+become graph landmarks observed from multiple keyframes, giving the
+Schur-complement solver (graph.optimize.solve_with_landmarks) real work:
+landmark-aided smoothing that is independent of scan-overlap, exactly the
+"post/plane map" localization the reference's data structures anticipate.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from veloslam_tpu.core import se3
+from veloslam_tpu.graph.posegraph import PoseGraph
+from veloslam_tpu.map.landmarks import extract_posts
+from veloslam_tpu.registration import voxel as vx
+
+
+def extract_scan_posts(pts: np.ndarray, mask: np.ndarray,
+                       voxel_size: float = 0.5,
+                       capacity: int = 8192) -> np.ndarray:
+    """Detect post landmarks in a single (sensor-frame) scan.
+
+    Returns (K, 3) post anchor points (column center at base height +
+    half height — a stable, viewpoint-independent-ish anchor)."""
+    grid = vx.build_grid(jnp.asarray(pts, jnp.float32), jnp.asarray(mask),
+                         jnp.zeros(3, jnp.float32), voxel_size,
+                         capacity=capacity)
+    occ = np.asarray(grid.occupied)
+    if not occ.any():
+        return np.zeros((0, 3))
+    keys = np.asarray(grid.keys)[occ]
+    bits, half = 10, 512
+    axis_mask = (1 << bits) - 1
+    coords = np.stack([(keys >> (2 * bits)) & axis_mask,
+                       (keys >> bits) & axis_mask,
+                       keys & axis_mask], -1) - half
+    count = np.asarray(grid.count)[occ]
+    mean = np.asarray(grid.mean)[occ]
+    cov = np.asarray(grid.cov)[occ]
+    posts = extract_posts(coords, count, mean, cov, voxel_size)
+    if len(posts) == 0:
+        return np.zeros((0, 3))
+    return np.stack([posts[:, 0], posts[:, 1],
+                     posts[:, 2] + 0.5 * posts[:, 3]], -1)
+
+
+def associate_and_add(graph: PoseGraph,
+                      keyframe_posts: List[np.ndarray],
+                      radius: float = 1.0,
+                      min_observations: int = 2,
+                      obs_info: float = 25.0) -> Tuple[int, int]:
+    """Cluster per-keyframe post detections into landmarks and add them +
+    their observations to the graph.
+
+    keyframe_posts[k]: (Mk, 3) sensor-frame detections for keyframe k
+    (aligned with graph pose k).  Detections are lifted to world via the
+    current pose estimates, greedily clustered by `radius`, and clusters
+    seen from ≥ min_observations keyframes become graph landmarks with
+    sensor-frame observations.  Returns (n_landmarks, n_observations).
+    """
+    q, t = graph.poses()
+    world_det = []                 # (k, sensor_xyz, world_xyz)
+    for k, dets in enumerate(keyframe_posts):
+        if k >= len(q) or len(dets) == 0:
+            continue
+        pose = se3.Pose(jnp.asarray(q[k]), jnp.asarray(t[k]))
+        w = np.asarray(se3.apply(pose, jnp.asarray(dets, jnp.float32)))
+        for d, wp in zip(dets, w):
+            world_det.append((k, d, wp))
+    if not world_det:
+        return 0, 0
+
+    # Greedy clustering in world xy.
+    centers: List[np.ndarray] = []
+    members: List[List[int]] = []
+    for i, (_, _, wp) in enumerate(world_det):
+        placed = False
+        for c_idx, c in enumerate(centers):
+            if np.linalg.norm(wp[:2] - c[:2]) < radius:
+                n = len(members[c_idx])
+                centers[c_idx] = (c * n + wp) / (n + 1)
+                members[c_idx].append(i)
+                placed = True
+                break
+        if not placed:
+            centers.append(wp.copy())
+            members.append([i])
+
+    n_lm = n_obs = 0
+    for c, mem in zip(centers, members):
+        kfs = {world_det[i][0] for i in mem}
+        if len(kfs) < min_observations:
+            continue
+        lm = graph.add_landmark(c)
+        n_lm += 1
+        for i in mem:
+            k, d, _ = world_det[i]
+            graph.add_observation(k, lm, d, info=(obs_info,) * 3)
+            n_obs += 1
+    return n_lm, n_obs
