@@ -1,0 +1,264 @@
+"""Device-resident streaming odometry: one jitted step per packet batch.
+
+The full SLAM pipeline (runtime.pipeline) orchestrates on the host —
+flexible, but every frame crosses the device boundary.  This module is the
+production fast path: decode → motion compensation → frame assembly →
+scan-to-local-map GICP → local-map update run as ONE jitted function whose
+state (assembly carry, rolling voxel map, correction transform, trajectory
+buffer) never leaves the device.  The host only feeds packet batches and
+INS windows, and reads the trajectory back once at the end of the stream.
+
+Local map: a fixed-capacity voxel-Gaussian grid merged with each
+registered scan under exponential forgetting (counts ×γ per frame, stale
+voxels fall under the min-point gate).  Packed keys bound the odometry
+area to ±512 voxels around the stream origin; for unbounded runs the host
+rebases periodically (splitting streams), or the full pipeline's tiled
+map takes over.
+
+Estimation model matches runtime.pipeline: the INS provides compensation
+and relative priors; registration maintains a correction
+C = T_est ∘ T_ins⁻¹ so the prior for each new frame is C ∘ T_ins(start).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from veloslam_tpu import constants as C
+from veloslam_tpu.core import se3
+from veloslam_tpu.core.timeline import interpolate_poses
+from veloslam_tpu.decode.decode import (DeviceCalib, compensate,
+                                        decode_packets)
+from veloslam_tpu.decode.frames import AssemblyCarry, assemble_frames
+from veloslam_tpu.registration import gicp
+from veloslam_tpu.registration import voxel as vx
+
+
+class OdometryState(NamedTuple):
+    carry: AssemblyCarry
+    map_grid: vx.VoxelGrid          # rolling local map
+    corr_q: jax.Array               # (4,) correction C = T_est ∘ T_ins⁻¹
+    corr_t: jax.Array               # (3,)
+    traj_q: jax.Array               # (T, 4) per-frame pose estimates
+    traj_t: jax.Array               # (T, 3)
+    traj_time: jax.Array            # (T,) float64-µs as two f32? — stored
+                                    # as f32 seconds rel. to stream start
+    n_frames: jax.Array             # () int32
+    have_map: jax.Array             # () bool — first frame bootstraps
+
+
+def init_state(n_beams: int, *, map_capacity: int = 32768,
+               max_frames: int = 4096,
+               max_firings: int = C.MAX_FIRINGS_PER_FRAME,
+               voxel_size: float = 1.0) -> OdometryState:
+    grid = vx.VoxelGrid(
+        keys=jnp.full((map_capacity,), vx.INVALID_KEY, jnp.int32),
+        count=jnp.zeros(map_capacity, jnp.float32),
+        mean=jnp.zeros((map_capacity, 3), jnp.float32),
+        cov=jnp.zeros((map_capacity, 3, 3), jnp.float32),
+        origin=jnp.zeros(3, jnp.float32),
+        voxel_size=jnp.asarray(voxel_size, jnp.float32))
+    return OdometryState(
+        carry=AssemblyCarry.init(n_beams, max_firings),
+        map_grid=grid,
+        corr_q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+        corr_t=jnp.zeros(3, jnp.float32),
+        traj_q=jnp.zeros((max_frames, 4), jnp.float32),
+        traj_t=jnp.zeros((max_frames, 3), jnp.float32),
+        traj_time=jnp.zeros(max_frames, jnp.float32),
+        n_frames=jnp.asarray(0, jnp.int32),
+        have_map=jnp.asarray(False))
+
+
+def _subsample(frame_xyz, frame_mask, n_out: int):
+    """Pick n_out valid points, spread across the whole frame.
+
+    Valid-first ordering alone would take the first beams only (the frame
+    layout is (beam, firing)) — a geometry-poor, ground-ring-heavy subset
+    that under-constrains registration.  A multiplicative-hash tiebreak
+    shuffles within the valid set so the sample covers all beams.
+    """
+    flat = frame_xyz.reshape(-1, 3)
+    m = frame_mask.reshape(-1)
+    n = m.shape[0]
+    h = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)) >> 9
+    key = jnp.where(m, h.astype(jnp.float32),
+                    jnp.float32(2**31))       # invalid sorts last
+    idx = jnp.argsort(key)[:n_out]
+    return flat[idx], m[idx]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
+    "min_points", "min_planarity"))
+def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
+                  pkt_rel_s: jax.Array, carry_start_rel_s: jax.Array,
+                  batch_start_rel_stream_s: jax.Array,
+                  track_rel_s: jax.Array, track_q: jax.Array,
+                  track_t: jax.Array, track_v: jax.Array, *,
+                  model: str, n_beams: int, reg_points: int = 16384,
+                  reg_iterations: int = 8, max_frames_batch: int = 4,
+                  min_points: int = 4, min_planarity: float = 0.35
+                  ) -> Tuple[OdometryState, jax.Array]:
+    """Consume one packet batch; returns (new state, open_start_rel_s).
+
+    Times: `pkt_rel_s`/`carry_start_rel_s` are relative to this batch's
+    anchor; `batch_start_rel_stream_s` is the anchor expressed relative to
+    the stream start (for the trajectory time column).
+    """
+    dec = decode_packets(pkts, calib, model=model)
+    xyz_w, _ = compensate(dec, pkt_rel_s, track_rel_s, track_q, track_t,
+                          track_v)
+    fb, n_done, starts, carry, open_start = assemble_frames(
+        dec, xyz_w, pkt_rel_s, state.carry, carry_start_rel_s,
+        model=model, n_beams=n_beams, max_frames=max_frames_batch)
+    state = state._replace(carry=carry)
+
+    def handle_frame(k, st: OdometryState) -> OdometryState:
+        def do(st: OdometryState) -> OdometryState:
+            start_rel = starts[k]
+            # INS pose at the frame start (batch time base).
+            ins = interpolate_poses(track_rel_s, track_q, track_t, track_v,
+                                    start_rel[None])
+            ins = se3.Pose(ins.q[0], ins.t[0])
+            # Frame points (world/INS frame) → local (frame-start) frame.
+            pts, msk = _subsample(fb.xyz[k], fb.mask[k], reg_points)
+            pts_local = se3.apply(se3.inverse(ins), pts)
+            prior = se3.compose(se3.Pose(st.corr_q, st.corr_t), ins)
+
+            target = gicp.plane_grid_from(st.map_grid,
+                                          min_points=min_points,
+                                          min_planarity=min_planarity)
+            res = gicp.register(pts_local, msk, target, prior,
+                                iterations=reg_iterations)
+            healthy = (res.n_matched > 500) & jnp.all(
+                jnp.isfinite(res.pose.t)) & st.have_map
+            est = se3.Pose(jnp.where(healthy, res.pose.q, prior.q),
+                           jnp.where(healthy, res.pose.t, prior.t))
+
+            # Update correction and trajectory.
+            corr = se3.compose(est, se3.inverse(ins))
+            n = st.n_frames
+            traj_q = st.traj_q.at[n].set(est.q)
+            traj_t = st.traj_t.at[n].set(est.t)
+            traj_time = st.traj_time.at[n].set(
+                batch_start_rel_stream_s + start_rel)
+
+            # Merge the registered scan into the rolling map with decay.
+            pts_world = se3.apply(est, pts_local)
+            scan_grid = vx.build_grid(pts_world, msk, st.map_grid.origin,
+                                      st.map_grid.voxel_size,
+                                      capacity=8192)
+            decayed = st.map_grid._replace(count=st.map_grid.count * 0.98)
+            merged = vx.merge_stats(decayed, scan_grid,
+                                    capacity=st.map_grid.capacity)
+            return st._replace(
+                map_grid=merged, corr_q=corr.q, corr_t=corr.t,
+                traj_q=traj_q, traj_t=traj_t, traj_time=traj_time,
+                n_frames=n + 1, have_map=jnp.asarray(True))
+
+        return jax.lax.cond(k < n_done, do, lambda s: s, st)
+
+    # Unrolled over the (small, static) slot count: nesting the per-frame
+    # work inside an outer lax.fori_loop serializes the whole body behind
+    # a dynamic trip count and costs ~70x on TPU; unrolling keeps each
+    # slot's cond at top level where XLA schedules it properly.
+    for k in range(max_frames_batch):
+        state = handle_frame(k, state)
+    return state, open_start
+
+
+class StreamingOdometry:
+    """Host driver: feeds batches, keeps int64 time anchors, reads the
+    trajectory once at the end (axon-safe: no mid-stream readbacks)."""
+
+    def __init__(self, calib: DeviceCalib, *, model: str = "hdl32",
+                 n_beams: int = 32, voxel_size: float = 1.0,
+                 reg_points: int = 16384, reg_iterations: int = 8,
+                 map_capacity: int = 32768, max_frames: int = 4096):
+        self.calib = calib
+        self.model = model
+        self.n_beams = n_beams
+        self.reg_points = reg_points
+        self.reg_iterations = reg_iterations
+        self.state = init_state(n_beams, map_capacity=map_capacity,
+                                max_frames=max_frames,
+                                voxel_size=voxel_size)
+        self._stream_t0_us: Optional[int] = None
+        self._open_start_abs_us: Optional[float] = None
+
+    def run(self, pkts: np.ndarray, times_us: np.ndarray, track,
+            batch: int = 512) -> dict:
+        """Stream a whole recording; returns trajectory dict (single
+        readback at the end)."""
+        n = (len(pkts) // batch) * batch
+        for s in range(0, n, batch):
+            t0, t1 = int(times_us[s]), int(times_us[s + batch - 1])
+            w = track.window(t0, t1, anchor_us=t0)
+            self.feed(pkts[s:s + batch], times_us[s:s + batch], w)
+        st = self.state
+        n_frames = int(st.n_frames)          # single readback point
+        return {
+            # float64 before the epoch shift: f32 + 1.7e15 µs would round
+            # to ~134 s granularity
+            "times_us": (np.asarray(st.traj_time[:n_frames],
+                                    np.float64) * 1e6
+                         + self._stream_t0_us).astype(np.int64),
+            "quaternions": np.asarray(st.traj_q[:n_frames]),
+            "positions": np.asarray(st.traj_t[:n_frames]),
+            "n_frames": n_frames,
+        }
+
+    WINDOW_LEN = 64      # static INS-window length (pose samples)
+
+    def _pad_window(self, w: dict) -> dict:
+        """Fix the window length so feed() never recompiles: trim the
+        middle or edge-pad (interpolation clamps at the edges, so repeated
+        boundary samples are harmless)."""
+        L = self.WINDOW_LEN
+        n = len(w["rel_s"])
+        out = {}
+        for k, v in w.items():
+            if n >= L:
+                out[k] = v[:L] if k != "rel_s" else v[:L]
+            else:
+                pad = [(0, L - n)] + [(0, 0)] * (v.ndim - 1)
+                out[k] = np.pad(v, pad, mode="edge")
+        if n > L:                      # keep the last sample reachable
+            for k, v in w.items():
+                out[k] = np.concatenate([v[:L - 1], v[-1:]])
+        return out
+
+    def feed(self, pkts, times_us, track_window) -> None:
+        """Consume one packet batch.  The open-frame time anchor stays a
+        DEVICE scalar (carried into the next call after a host-known
+        anchor shift) so streaming performs no device→host readbacks."""
+        track_window = self._pad_window(track_window)
+        anchor = int(times_us[0])
+        if self._stream_t0_us is None:
+            self._stream_t0_us = anchor
+            prev_anchor = anchor
+            open_dev = jnp.asarray(0.0, jnp.float32)
+        else:
+            prev_anchor = self._open_anchor
+            open_dev = self._open_start_dev
+        carry_start = open_dev + jnp.asarray(
+            (prev_anchor - anchor) * 1e-6, jnp.float32)
+        rel = jnp.asarray((times_us - anchor) * 1e-6, jnp.float32)
+        self.state, open_start = odometry_step(
+            self.state, jnp.asarray(pkts), self.calib, rel, carry_start,
+            jnp.asarray((anchor - self._stream_t0_us) * 1e-6, jnp.float32),
+            jnp.asarray(track_window["rel_s"]),
+            jnp.asarray(track_window["q"]),
+            jnp.asarray(track_window["t"]),
+            jnp.asarray(track_window["v"]),
+            model=self.model, n_beams=self.n_beams,
+            reg_points=self.reg_points,
+            reg_iterations=self.reg_iterations)
+        self._open_start_dev = open_start
+        self._open_anchor = anchor
