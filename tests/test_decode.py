@@ -228,7 +228,7 @@ def test_decode_compensate_recovers_world_geometry(hdl32_seq):
     track = PoseTrack()
     for t_us, p, yaw, v in zip(seq["ins_t_us"], seq["ins_pos"],
                                seq["ins_yaw"], seq["ins_vel"]):
-        q = np.asarray(se3.euler_deg_to_quat(0.0, 0.0, np.rad2deg(yaw)))
+        q = se3.euler_deg_to_quat_np(0.0, 0.0, np.rad2deg(yaw))
         track.add(int(t_us), q=q, t=p, v=v)
     frames = _decode_and_assemble(seq, compensate_track=track)
     f = frames[1]

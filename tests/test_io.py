@@ -76,3 +76,23 @@ def test_inspva_roundtrip():
     np.testing.assert_allclose(out["llh_deg"], (31.0, 121.5, 18.9))
     np.testing.assert_allclose(out["seconds_pos"], 123.456789)
     assert out["ins_status"] == 42
+
+
+def test_idle_lidar_packets_decode_to_nothing():
+    """Idle pad packets must add no points and no frame splits."""
+    import numpy as np
+
+    from veloslam_tpu.io import packets as pk
+
+    rng = np.random.default_rng(3)
+    az = (np.arange(12, dtype=np.uint32) * 18 + 30000).reshape(1, 12)
+    dist = rng.integers(500, 4000, (1, 12, 32)).astype(np.uint32)
+    inten = rng.integers(0, 255, (1, 12, 32)).astype(np.uint32)
+    tmpl = pk.encode_lidar_packets(az, dist, inten,
+                                   np.asarray([1234567], np.uint32))
+    idle = pk.idle_lidar_packets(tmpl[0], 5)
+    assert idle.shape == tmpl[0][None].repeat(5, 0).shape
+    f = pk.decode_lidar_packets_np(idle)
+    assert (f["dist_raw"] == 0).all()                 # no returns
+    assert (f["az_ticks"] == az[0, -1]).all()         # frozen azimuth
+    assert (f["gps_us"] == 1234567).all()

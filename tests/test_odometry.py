@@ -23,7 +23,7 @@ def _track(seq, drift_rate=0.0):
     t0 = seq["ins_t_us"][0]
     for t_us, p, yaw, v in zip(seq["ins_t_us"], seq["ins_pos"],
                                seq["ins_yaw"], seq["ins_vel"]):
-        q = np.asarray(se3.euler_deg_to_quat(0.0, 0.0, np.rad2deg(yaw)))
+        q = se3.euler_deg_to_quat_np(0.0, 0.0, np.rad2deg(yaw))
         dp = np.array([0.0, drift_rate * (t_us - t0) * 1e-6, 0.0])
         track.add(int(t_us), q=q, t=np.asarray(p) + dp, v=v)
     return track

@@ -99,6 +99,20 @@ def test_euler_deg_convention_matches_reference_matrix():
     np.testing.assert_allclose(got, expected, atol=1e-6)
 
 
+def test_euler_deg_to_quat_np_matches_jnp(rng):
+    """The host-side (readback-free) numpy variant must agree with the
+    device implementation, including batched inputs."""
+    angles = rng.uniform(-180, 180, size=(16, 3))
+    q_np = se3.euler_deg_to_quat_np(angles[:, 0], angles[:, 1], angles[:, 2])
+    q_j = np.asarray(se3.euler_deg_to_quat(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        angles[:, 2].astype(np.float32)))
+    # q and -q are the same rotation; align signs before comparing
+    sign = np.sign(np.sum(q_np * q_j, -1, keepdims=True))
+    np.testing.assert_allclose(q_np * sign, q_j, atol=1e-5)
+    assert q_np.dtype == np.float32
+
+
 def test_retract_log(rng):
     p = se3.Pose(jnp.asarray(rand_quat(rng)),
                  jnp.asarray(rng.standard_normal(3).astype(np.float32)))

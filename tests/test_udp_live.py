@@ -124,10 +124,13 @@ def test_online_pipeline_loopback():
     origin_llh = np.array([np.deg2rad(31.0), np.deg2rad(121.5), 0.0])
     org_xyz = geodesy.llh2xyz_np(origin_llh)
 
+    ready = threading.Event()
+
     def send_ins():
         # InsPVA stream: ENU ground truth re-encoded as LLH against the
         # shared origin, timestamps on the simulated GPS clock
         # (TestINSSender parity, TestINSSender.cxx:52-76)
+        ready.wait(timeout=10)
         for t_us, p, yaw, v in zip(seq["ins_t_us"], seq["ins_pos"],
                                    seq["ins_yaw"], seq["ins_vel"]):
             gps_us = int(t_us) - timesync.GPS_EPOCH_UNIX_US
@@ -143,6 +146,7 @@ def test_online_pipeline_loopback():
             time.sleep(0.002)
 
     def send_lidar():
+        ready.wait(timeout=10)
         time.sleep(0.3)                     # let INS lead (prior track)
         replay_packets(seq["packets"], "127.0.0.1", lidar_port, pace_us=100)
 
@@ -150,27 +154,18 @@ def test_online_pipeline_loopback():
                      pipeline=PipelineConfig(packets_per_batch=128),
                      registration=RegistrationConfig(max_points=16384,
                                                      max_iterations=8))
+    pipe = SlamPipeline(cfg)
     # Pre-warm the jit cache (shared per process) so live-loop timing is
     # about streaming, not first-compile latency.
-    warm = SlamPipeline(cfg)
-    for t_us, p, yaw, v in zip(seq["ins_t_us"][:30], seq["ins_pos"][:30],
-                               seq["ins_yaw"][:30], seq["ins_vel"][:30]):
-        from veloslam_tpu.core import se3 as _se3
-        warm.feed_ins_pose(int(t_us),
-                           np.asarray(_se3.euler_deg_to_quat(0, 0, 0)),
-                           np.asarray(p, float), v)
-    warm.process_packets(seq["packets"][:128], seq["pkt_times_us"][:128])
-    warm.process_packets(seq["packets"][128:256],
-                         seq["pkt_times_us"][128:256])
-
-    pipe = SlamPipeline(cfg)
+    pipe.warmup()
     t1 = threading.Thread(target=send_ins, daemon=True)
     t2 = threading.Thread(target=send_lidar, daemon=True)
     t1.start()
     t2.start()
     res = pipe.run_online(lidar_port=lidar_port, ins_port=ins_port,
                           origin_llh_deg=(31.0, 121.5, 0.0),
-                          duration_s=12.0, idle_timeout_s=2.5)
+                          duration_s=12.0, idle_timeout_s=2.5,
+                          on_ready=ready.set)
     t1.join(timeout=5)
     t2.join(timeout=5)
     assert res["n_frames"] >= 3, res["n_frames"]

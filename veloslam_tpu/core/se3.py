@@ -163,6 +163,40 @@ def euler_deg_to_quat(roll_deg, pitch_deg, yaw_deg):
     return quat_mul(qy, quat_mul(qx, qz))
 
 
+def euler_deg_to_quat_np(roll_deg, pitch_deg, yaw_deg) -> "np.ndarray":
+    """Pure-numpy `euler_deg_to_quat` for HOST-side code (INS ingestion,
+    PoseTrack building, test fixtures).
+
+    Host paths must not touch the device: on the tunneled axon TPU backend a
+    single device→host readback (e.g. `np.asarray(jnp_result)`) permanently
+    degrades every subsequent dispatch ~40x, so converting poses on the
+    ingest path with the jnp variant would poison the whole process."""
+    import numpy as np
+
+    def axis_angle(ax, ang):
+        half = 0.5 * ang
+        return np.concatenate([np.cos(half)[..., None],
+                               np.sin(half)[..., None] * ax], -1)
+
+    def mul(a, b):
+        w1, x1, y1, z1 = np.moveaxis(a, -1, 0)
+        w2, x2, y2, z2 = np.moveaxis(b, -1, 0)
+        return np.stack([w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                         w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                         w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                         w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2], -1)
+
+    r = np.deg2rad(np.asarray(roll_deg, np.float64))
+    p = np.deg2rad(np.asarray(pitch_deg, np.float64))
+    y = np.deg2rad(np.asarray(yaw_deg, np.float64))
+    zero, one = np.zeros_like(r), np.ones_like(r)
+    qy = axis_angle(np.stack([zero, one, zero], -1), r)
+    qx = axis_angle(np.stack([one, zero, zero], -1), p)
+    qz = axis_angle(np.stack([zero, zero, one], -1), y)
+    q = mul(qy, mul(qx, qz))
+    return (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+
+
 # --- SE(3) -------------------------------------------------------------------
 
 def compose(a: Pose, b: Pose) -> Pose:

@@ -40,7 +40,7 @@ class InsConverter:
             self._origin_xyz = geodesy.llh2xyz_np(llh)
         enu = geodesy.llh2enu_np(llh, self._origin_xyz)
         e = msg["eulr_deg"]
-        q = np.asarray(se3.euler_deg_to_quat(e[0], e[1], e[2]))
+        q = se3.euler_deg_to_quat_np(e[0], e[1], e[2])  # host-side, no device
         t_us = timesync.ins_timestamp_us(
             msg["week_number"], msg["milliseconds"],
             msg["week_number_pos"], msg["seconds_pos"])

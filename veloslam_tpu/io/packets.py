@@ -61,6 +61,23 @@ def encode_lidar_packets(az_ticks: np.ndarray, dist_raw: np.ndarray,
     return pkts
 
 
+def idle_lidar_packets(template: np.ndarray, n: int) -> np.ndarray:
+    """n packets that decode to NOTHING: all returns blanked (distance 0 =
+    "no return") and every block azimuth pinned to `template`'s last block
+    azimuth (so the azimuth sequence neither advances nor wraps — no frame
+    split).  Used to pad a trailing partial batch up to the standard batch
+    size so the pre-compiled fixed-shape program is reused instead of
+    compiling a new one per partial size."""
+    f = decode_lidar_packets_np(template[None])
+    az = np.full((n, C.HDL_FIRINGS_PER_PACKET), f["az_ticks"][0, -1],
+                 np.uint32)
+    zeros = np.zeros((n, C.HDL_FIRINGS_PER_PACKET, C.HDL_LASERS_PER_FIRING),
+                     np.uint32)
+    gps = np.full(n, f["gps_us"][0], np.uint32)
+    return encode_lidar_packets(az, zeros, zeros, gps,
+                                np.repeat(f["block_id"][:1], n, axis=0))
+
+
 def decode_lidar_packets_np(pkts: np.ndarray) -> Dict[str, np.ndarray]:
     """Numpy decode oracle (field extraction only)."""
     n = pkts.shape[0]

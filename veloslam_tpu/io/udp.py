@@ -47,6 +47,14 @@ class UdpReceiver:
         if self._native is None:
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
             self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            # Burst tolerance to match the native receiver (8 MB RCVBUF,
+            # packet_pump.cpp): sensor replays arrive in multi-Mbit bursts
+            # while the consumer is busy dispatching device work.
+            try:
+                self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                      8 * 1024 * 1024)
+            except OSError:
+                pass
             self._sock.settimeout(0.1)
             self._sock.bind(("0.0.0.0", port))
             self._queue: deque = deque(maxlen=capacity)

@@ -93,6 +93,99 @@ def _subsample(frame_xyz, frame_mask, n_out: int):
     return flat[idx], m[idx]
 
 
+def _handle_frame(st: OdometryState, k, fb_xyz, fb_mask, starts, n_done,
+                  batch_start_rel_stream_s, track_rel_s, track_q, track_t,
+                  track_v, *, reg_points: int, reg_iterations: int,
+                  min_points: int, min_planarity: float) -> OdometryState:
+    """Register frame slot `k` (if k < n_done) and fold it into the state.
+
+    Shared body of the fused `odometry_step` and the chained
+    `frame_step`; `k` may be a Python int (fused, unrolled) or a traced
+    device scalar (chained)."""
+
+    def do(st: OdometryState) -> OdometryState:
+        start_rel = starts[k]
+        # INS pose at the frame start (batch time base).
+        ins = interpolate_poses(track_rel_s, track_q, track_t, track_v,
+                                start_rel[None])
+        ins = se3.Pose(ins.q[0], ins.t[0])
+        # Frame points (world/INS frame) → local (frame-start) frame.
+        pts, msk = _subsample(fb_xyz[k], fb_mask[k], reg_points)
+        pts_local = se3.apply(se3.inverse(ins), pts)
+        prior = se3.compose(se3.Pose(st.corr_q, st.corr_t), ins)
+
+        target = gicp.plane_grid_from(st.map_grid,
+                                      min_points=min_points,
+                                      min_planarity=min_planarity)
+        res = gicp.register(pts_local, msk, target, prior,
+                            iterations=reg_iterations)
+        healthy = (res.n_matched > 500) & jnp.all(
+            jnp.isfinite(res.pose.t)) & st.have_map
+        est = se3.Pose(jnp.where(healthy, res.pose.q, prior.q),
+                       jnp.where(healthy, res.pose.t, prior.t))
+
+        # Update correction and trajectory.
+        corr = se3.compose(est, se3.inverse(ins))
+        n = st.n_frames
+        traj_q = st.traj_q.at[n].set(est.q)
+        traj_t = st.traj_t.at[n].set(est.t)
+        traj_time = st.traj_time.at[n].set(
+            batch_start_rel_stream_s + start_rel)
+
+        # Merge the registered scan into the rolling map with decay.
+        pts_world = se3.apply(est, pts_local)
+        scan_grid = vx.build_grid(pts_world, msk, st.map_grid.origin,
+                                  st.map_grid.voxel_size,
+                                  capacity=8192)
+        decayed = st.map_grid._replace(count=st.map_grid.count * 0.98)
+        merged = vx.merge_stats(decayed, scan_grid,
+                                capacity=st.map_grid.capacity)
+        return st._replace(
+            map_grid=merged, corr_q=corr.q, corr_t=corr.t,
+            traj_q=traj_q, traj_t=traj_t, traj_time=traj_time,
+            n_frames=n + 1, have_map=jnp.asarray(True))
+
+    return jax.lax.cond(k < n_done, do, lambda s: s, st)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "n_beams", "max_frames_batch"))
+def assemble_step(carry: AssemblyCarry, pkts: jax.Array, calib: DeviceCalib,
+                  pkt_rel_s: jax.Array, carry_start_rel_s: jax.Array,
+                  track_rel_s: jax.Array, track_q: jax.Array,
+                  track_t: jax.Array, track_v: jax.Array, *,
+                  model: str, n_beams: int, max_frames_batch: int = 4):
+    """Chained-path stage 1: decode + compensate + frame assembly."""
+    dec = decode_packets(pkts, calib, model=model)
+    xyz_w, _ = compensate(dec, pkt_rel_s, track_rel_s, track_q, track_t,
+                          track_v)
+    fb, n_done, starts, carry2, open_start = assemble_frames(
+        dec, xyz_w, pkt_rel_s, carry, carry_start_rel_s,
+        model=model, n_beams=n_beams, max_frames=max_frames_batch)
+    return fb.xyz, fb.mask, n_done, starts, carry2, open_start
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "reg_points", "reg_iterations", "min_points", "min_planarity"))
+def frame_step(state: OdometryState, k: jax.Array, fb_xyz: jax.Array,
+               fb_mask: jax.Array, starts: jax.Array, n_done: jax.Array,
+               batch_start_rel_stream_s: jax.Array,
+               track_rel_s: jax.Array, track_q: jax.Array,
+               track_t: jax.Array, track_v: jax.Array, *,
+               reg_points: int = 16384, reg_iterations: int = 8,
+               min_points: int = 4, min_planarity: float = 0.35
+               ) -> OdometryState:
+    """Chained-path stage 2: register/integrate ONE frame slot.
+
+    `k` is a device scalar so all slots share one executable; the
+    k-vs-n_done gate stays on device (no readback)."""
+    return _handle_frame(state, k, fb_xyz, fb_mask, starts, n_done,
+                         batch_start_rel_stream_s, track_rel_s, track_q,
+                         track_t, track_v, reg_points=reg_points,
+                         reg_iterations=reg_iterations,
+                         min_points=min_points, min_planarity=min_planarity)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
     "min_points", "min_planarity"))
@@ -105,11 +198,19 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
                   reg_iterations: int = 8, max_frames_batch: int = 4,
                   min_points: int = 4, min_planarity: float = 0.35
                   ) -> Tuple[OdometryState, jax.Array]:
-    """Consume one packet batch; returns (new state, open_start_rel_s).
+    """Fused single-program variant: consume one packet batch; returns
+    (new state, open_start_rel_s).
 
     Times: `pkt_rel_s`/`carry_start_rel_s` are relative to this batch's
     anchor; `batch_start_rel_stream_s` is the anchor expressed relative to
     the stream start (for the trajectory time column).
+
+    Measured on the axon v5e chip with a readback-free host driver: fused
+    and chained paths both run ~3.3 ms per 512-packet batch (≈850 frames/s
+    of full decode→register→map-update SLAM).  An earlier "fused anomaly"
+    (~300 ms/step) was the harness poisoning axon dispatch with device
+    readbacks during setup, not the program — see
+    se3.euler_deg_to_quat_np and bench.py notes.
     """
     dec = decode_packets(pkts, calib, model=model)
     xyz_w, _ = compensate(dec, pkt_rel_s, track_rel_s, track_q, track_t,
@@ -119,57 +220,16 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
         model=model, n_beams=n_beams, max_frames=max_frames_batch)
     state = state._replace(carry=carry)
 
-    def handle_frame(k, st: OdometryState) -> OdometryState:
-        def do(st: OdometryState) -> OdometryState:
-            start_rel = starts[k]
-            # INS pose at the frame start (batch time base).
-            ins = interpolate_poses(track_rel_s, track_q, track_t, track_v,
-                                    start_rel[None])
-            ins = se3.Pose(ins.q[0], ins.t[0])
-            # Frame points (world/INS frame) → local (frame-start) frame.
-            pts, msk = _subsample(fb.xyz[k], fb.mask[k], reg_points)
-            pts_local = se3.apply(se3.inverse(ins), pts)
-            prior = se3.compose(se3.Pose(st.corr_q, st.corr_t), ins)
-
-            target = gicp.plane_grid_from(st.map_grid,
-                                          min_points=min_points,
-                                          min_planarity=min_planarity)
-            res = gicp.register(pts_local, msk, target, prior,
-                                iterations=reg_iterations)
-            healthy = (res.n_matched > 500) & jnp.all(
-                jnp.isfinite(res.pose.t)) & st.have_map
-            est = se3.Pose(jnp.where(healthy, res.pose.q, prior.q),
-                           jnp.where(healthy, res.pose.t, prior.t))
-
-            # Update correction and trajectory.
-            corr = se3.compose(est, se3.inverse(ins))
-            n = st.n_frames
-            traj_q = st.traj_q.at[n].set(est.q)
-            traj_t = st.traj_t.at[n].set(est.t)
-            traj_time = st.traj_time.at[n].set(
-                batch_start_rel_stream_s + start_rel)
-
-            # Merge the registered scan into the rolling map with decay.
-            pts_world = se3.apply(est, pts_local)
-            scan_grid = vx.build_grid(pts_world, msk, st.map_grid.origin,
-                                      st.map_grid.voxel_size,
-                                      capacity=8192)
-            decayed = st.map_grid._replace(count=st.map_grid.count * 0.98)
-            merged = vx.merge_stats(decayed, scan_grid,
-                                    capacity=st.map_grid.capacity)
-            return st._replace(
-                map_grid=merged, corr_q=corr.q, corr_t=corr.t,
-                traj_q=traj_q, traj_t=traj_t, traj_time=traj_time,
-                n_frames=n + 1, have_map=jnp.asarray(True))
-
-        return jax.lax.cond(k < n_done, do, lambda s: s, st)
-
     # Unrolled over the (small, static) slot count: nesting the per-frame
     # work inside an outer lax.fori_loop serializes the whole body behind
     # a dynamic trip count and costs ~70x on TPU; unrolling keeps each
     # slot's cond at top level where XLA schedules it properly.
     for k in range(max_frames_batch):
-        state = handle_frame(k, state)
+        state = _handle_frame(
+            state, k, fb.xyz, fb.mask, starts, n_done,
+            batch_start_rel_stream_s, track_rel_s, track_q, track_t,
+            track_v, reg_points=reg_points, reg_iterations=reg_iterations,
+            min_points=min_points, min_planarity=min_planarity)
     return state, open_start
 
 
@@ -177,20 +237,27 @@ class StreamingOdometry:
     """Host driver: feeds batches, keeps int64 time anchors, reads the
     trajectory once at the end (axon-safe: no mid-stream readbacks)."""
 
+    MAX_FRAMES_BATCH = 4
+
     def __init__(self, calib: DeviceCalib, *, model: str = "hdl32",
                  n_beams: int = 32, voxel_size: float = 1.0,
                  reg_points: int = 16384, reg_iterations: int = 8,
-                 map_capacity: int = 32768, max_frames: int = 4096):
+                 map_capacity: int = 32768, max_frames: int = 4096,
+                 fused: bool = True):
         self.calib = calib
         self.model = model
         self.n_beams = n_beams
         self.reg_points = reg_points
         self.reg_iterations = reg_iterations
+        self.fused = fused
         self.state = init_state(n_beams, map_capacity=map_capacity,
                                 max_frames=max_frames,
                                 voxel_size=voxel_size)
         self._stream_t0_us: Optional[int] = None
         self._open_start_abs_us: Optional[float] = None
+        # Per-slot index scalars uploaded once (chained path).
+        self._slot_idx = [jnp.asarray(k, jnp.int32)
+                          for k in range(self.MAX_FRAMES_BATCH)]
 
     def run(self, pkts: np.ndarray, times_us: np.ndarray, track,
             batch: int = 512) -> dict:
@@ -250,15 +317,35 @@ class StreamingOdometry:
         carry_start = open_dev + jnp.asarray(
             (prev_anchor - anchor) * 1e-6, jnp.float32)
         rel = jnp.asarray((times_us - anchor) * 1e-6, jnp.float32)
-        self.state, open_start = odometry_step(
-            self.state, jnp.asarray(pkts), self.calib, rel, carry_start,
-            jnp.asarray((anchor - self._stream_t0_us) * 1e-6, jnp.float32),
-            jnp.asarray(track_window["rel_s"]),
-            jnp.asarray(track_window["q"]),
-            jnp.asarray(track_window["t"]),
-            jnp.asarray(track_window["v"]),
-            model=self.model, n_beams=self.n_beams,
-            reg_points=self.reg_points,
-            reg_iterations=self.reg_iterations)
+        batch_rel = jnp.asarray((anchor - self._stream_t0_us) * 1e-6,
+                                jnp.float32)
+        trk = (jnp.asarray(track_window["rel_s"]),
+               jnp.asarray(track_window["q"]),
+               jnp.asarray(track_window["t"]),
+               jnp.asarray(track_window["v"]))
+        if self.fused:
+            self.state, open_start = odometry_step(
+                self.state, jnp.asarray(pkts), self.calib, rel, carry_start,
+                batch_rel, *trk,
+                model=self.model, n_beams=self.n_beams,
+                reg_points=self.reg_points,
+                reg_iterations=self.reg_iterations,
+                max_frames_batch=self.MAX_FRAMES_BATCH)
+        else:
+            # Chained path: same per-batch cost as fused (measured), but
+            # each piece compiles in seconds instead of minutes on the
+            # remote-compile axon service — useful for iteration.
+            fb_xyz, fb_mask, n_done, starts, carry2, open_start = (
+                assemble_step(self.state.carry, jnp.asarray(pkts),
+                              self.calib, rel, carry_start, *trk,
+                              model=self.model, n_beams=self.n_beams,
+                              max_frames_batch=self.MAX_FRAMES_BATCH))
+            self.state = self.state._replace(carry=carry2)
+            for k_dev in self._slot_idx:
+                self.state = frame_step(
+                    self.state, k_dev, fb_xyz, fb_mask, starts, n_done,
+                    batch_rel, *trk,
+                    reg_points=self.reg_points,
+                    reg_iterations=self.reg_iterations)
         self._open_start_dev = open_start
         self._open_anchor = anchor

@@ -93,8 +93,11 @@ class SlamPipeline:
         """Load the reference INS text log format as the prior track."""
         ins = pk.read_ins_txt(path)
         for i in range(len(ins["t_us"])):
-            q = np.asarray(se3.euler_deg_to_quat(
-                ins["roll_deg"][i], ins["pitch_deg"][i], ins["yaw_deg"][i]))
+            # Host-side conversion (se3.euler_deg_to_quat_np): a jnp round
+            # trip here would read back from the device and poison axon
+            # dispatch latency for the whole process.
+            q = se3.euler_deg_to_quat_np(
+                ins["roll_deg"][i], ins["pitch_deg"][i], ins["yaw_deg"][i])
             t3 = np.array([ins["pos_xy"][i, 0], ins["pos_xy"][i, 1], 0.0])
             yaw = np.deg2rad(ins["yaw_deg"][i])
             v = ins["speed"][i] * np.array([np.cos(yaw), np.sin(yaw), 0.0])
@@ -166,9 +169,35 @@ class SlamPipeline:
             self.process_packets(pkts[s:s + B], times[s:s + B])
         return self.results()
 
+    def warmup(self, duration_s: float = 0.35) -> None:
+        """Pre-compile the streaming programs (decode → compensate →
+        assemble → register) by pushing a short synthetic drive through a
+        scratch pipeline with this config.  Call before `run_online` on
+        backends where first-compile latency (minutes on the axon remote
+        compile service) would stall live ingest past the idle timeout.
+        The jit cache is per-process, keyed on shapes/static args, so the
+        scratch instance warms this one."""
+        from veloslam_tpu.io import simulate as sim
+
+        seq = sim.generate_sequence(duration_s=duration_s,
+                                    model=self.cfg.sensor.model,
+                                    seed=0, world=sim.World.demo(1))
+        scratch = SlamPipeline(self.cfg)
+        for t_us, p, yaw, v in zip(seq["ins_t_us"], seq["ins_pos"],
+                                   seq["ins_yaw"], seq["ins_vel"]):
+            scratch.feed_ins_pose(
+                int(t_us), se3.euler_deg_to_quat_np(0.0, 0.0,
+                                                    float(np.rad2deg(yaw))),
+                np.asarray(p, float), v)
+        B = self.cfg.pipeline.packets_per_batch
+        pkts, times = seq["packets"], seq["pkt_times_us"]
+        for s in range(0, (len(pkts) // B) * B, B):
+            scratch.process_packets(pkts[s:s + B], times[s:s + B])
+
     def run_online(self, lidar_port: int = None, ins_port: int = None,
                    origin_llh_deg=None, duration_s: Optional[float] = None,
-                   idle_timeout_s: float = 2.0) -> Dict:
+                   idle_timeout_s: float = 2.0,
+                   on_ready=None) -> Dict:
         """Live acquisition (startOnline equivalent, HDLManager.h:111):
         UDP LiDAR + INS ingest until `duration_s` elapses or the stream
         goes idle.  HDL µs-into-hour stamps resolve against the INS time
@@ -196,11 +225,11 @@ class SlamPipeline:
 
         with UdpReceiver(lidar_port, C.HDL_PACKET_BYTES) as hdl_rx, \
                 UdpReceiver(ins_port, pkmod.INSPVA_BYTES) as ins_rx:
+            if on_ready is not None:
+                on_ready()          # ports are bound; senders may start
             while True:
-                now = _time.monotonic()
-                if duration_s is not None and now - t_start > duration_s:
-                    break
-                if now - last_rx > idle_timeout_s:
+                if (duration_s is not None
+                        and _time.monotonic() - t_start > duration_s):
                     break
                 ins_pkts, _ = ins_rx.poll()
                 for raw in ins_pkts:
@@ -212,8 +241,6 @@ class SlamPipeline:
                         first_ins_us = t_us
                     self.feed_ins_pose(t_us, q, t3, v)
                 pkts, rx_times = hdl_rx.poll()
-                if len(pkts) or len(ins_pkts):
-                    last_rx = now
                 if len(pkts):
                     # Resolve GPS µs-into-hour stamps to absolute time.
                     fields = pkmod.decode_lidar_packets_np(pkts)
@@ -232,8 +259,30 @@ class SlamPipeline:
                         buf = [allp[B:]]
                         buf_times = [allt[B:]]
                         buffered -= B
+                if len(pkts) or len(ins_pkts):
+                    # Stamp AFTER any processing: batch compute time must
+                    # not count toward the idle window, or a slow/first
+                    # batch ends the session with packets still queued.
+                    last_rx = _time.monotonic()
                 else:
+                    if _time.monotonic() - last_rx > idle_timeout_s:
+                        break
                     _time.sleep(0.005)
+            # Flush the trailing partial batch so end-of-stream frames are
+            # not dropped (the reference decodes every packet it received).
+            # Padded with idle packets (no returns, frozen azimuth) up to
+            # the standard batch size: reuses the compiled fixed-shape
+            # program instead of compiling one per partial length.
+            if buffered > 0:
+                allp = np.concatenate(buf)[:buffered]
+                allt = np.concatenate(buf_times)[:buffered]
+                pad = B - buffered
+                if pad > 0:
+                    allp = np.concatenate(
+                        [allp, pkmod.idle_lidar_packets(allp[-1], pad)])
+                    allt = np.concatenate(
+                        [allt, np.full(pad, allt[-1], np.int64)])
+                self.process_packets(allp, allt)
         return self.results()
 
     # --- per-frame SLAM loop ------------------------------------------------
