@@ -174,3 +174,75 @@ def test_online_pipeline_loopback():
     assert len(pipe.track) >= 40, len(pipe.track)
     # positions should be in the vicinity of the INS trajectory origin
     assert np.all(np.isfinite(res["positions"]))
+
+
+def test_rawins_bestgpspos_codecs():
+    raw = pk.pack_rawins(2380, 123456, 7, (-100, 200, 980665))
+    assert len(raw) == pk.RAWINS_BYTES == 24     # type_defs.h:61-68 layout
+    m = pk.unpack_rawins(raw)
+    assert m["message_id"] == C.INS_MSG_RAWINS
+    assert m["week_number"] == 2380 and m["milliseconds"] == 123456
+    assert m["imu_status"] == 7
+    assert m["accel_raw"] == (-100, 200, 980665)
+
+    gp = pk.pack_bestgpspos(2380, 123456, 4, 0, 1.5)
+    assert len(gp) == pk.BESTGPSPOS_BYTES == 20  # type_defs.h:71-79 layout
+    g = pk.unpack_bestgpspos(gp)
+    assert g["message_id"] == C.INS_MSG_BESTGPSPOS
+    assert g["solution"] == 4 and g["gps_status"] == 0
+    assert abs(g["diff_age"] - 1.5) < 1e-6
+
+    assert pk.peek_message_id(raw) == 325
+    assert pk.peek_message_id(gp) == 423
+
+
+@pytest.mark.parametrize("force_python", [False, True])
+def test_udp_variable_size_loopback(force_python):
+    """Mixed-size datagrams on one port (the INS-port pattern)."""
+    port = LIDAR_PORT + (3 if force_python else 2)
+    msgs = [pk.pack_inspva(2380, 1000, 2380, 1.0, (31.0, 121.5, 10.0),
+                           (1, 0, 0), (0, 0, 45.0)),
+            pk.pack_rawins(2380, 1001, 0, (1, 2, 3)),
+            pk.pack_bestgpspos(2380, 1002, 4, 0, 0.5)] * 5
+    with UdpReceiver(port, pk.INSPVA_BYTES, force_python=force_python,
+                     variable=True) as rx:
+        for m in msgs:
+            send_struct(m, "127.0.0.1", port)
+            time.sleep(0.001)
+        got, deadline = [], time.time() + 3.0
+        while len(got) < len(msgs) and time.time() < deadline:
+            p, lens, _ = rx.poll_var()
+            for row, ln in zip(p, lens):
+                got.append(row[:ln].tobytes())
+            if len(p) == 0:
+                time.sleep(0.01)
+    assert len(got) == len(msgs)
+    assert [g for g in got] == msgs               # order + content
+    ids = [pk.peek_message_id(g) for g in got]
+    assert ids[:3] == [508, 325, 423]
+
+
+def test_pipeline_ins_dispatch():
+    """handle_ins_datagram routes all three message types (the reference
+    leaves RawINS/BestGPSPos as FIXME stubs, INSSource.cxx:233-238)."""
+    from veloslam_tpu.io.ins import InsConverter
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    pipe = SlamPipeline()
+    conv = InsConverter((31.0, 121.5, 0.0))
+    t = pipe.handle_ins_datagram(
+        pk.pack_inspva(2380, 1000, 2380, 1.0, (31.0001, 121.5001, 5.0),
+                       (1, 0, 0), (0, 0, 30.0)), conv)
+    assert t is not None and len(pipe.track) == 1
+    assert pipe.handle_ins_datagram(
+        pk.pack_rawins(2380, 1001, 2, (10, 20, 30)), conv) is None
+    assert pipe.handle_ins_datagram(
+        pk.pack_bestgpspos(2380, 1002, 4, 0, 0.8), conv) is None
+    assert pipe.handle_ins_datagram(b"\x63\x00junk", conv) is None
+    h = pipe.ins_health
+    assert h["inspva_count"] == 1 and h["rawins_count"] == 1
+    assert h["bestgps_count"] == 1 and h["unknown_count"] == 1
+    assert h["last_gps_solution"] == 4 and h["last_imu_status"] == 2
+    assert len(pipe.imu_log) == 1
+    assert pipe.imu_log[0][2] == (10, 20, 30)
+    assert "ins_health" in pipe.results()

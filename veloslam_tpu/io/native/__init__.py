@@ -35,8 +35,13 @@ def _configure(lib) -> None:
                                   ct.c_int]
     lib.pp_udp_open.restype = ct.c_void_p
     lib.pp_udp_open.argtypes = [ct.c_int, ct.c_int, c_ll]
+    lib.pp_udp_open_any.restype = ct.c_void_p
+    lib.pp_udp_open_any.argtypes = [ct.c_int, ct.c_int, c_ll]
     lib.pp_udp_poll.restype = c_ll
     lib.pp_udp_poll.argtypes = [ct.c_void_p, u8p, llp, c_ll]
+    lib.pp_udp_poll_lens.restype = c_ll
+    lib.pp_udp_poll_lens.argtypes = [ct.c_void_p, u8p, llp,
+                                     ct.POINTER(ct.c_int), c_ll]
     lib.pp_udp_dropped.restype = c_ll
     lib.pp_udp_dropped.argtypes = [ct.c_void_p]
     lib.pp_udp_close.restype = None

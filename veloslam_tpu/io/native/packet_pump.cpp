@@ -169,10 +169,12 @@ long long pp_write_pcap(const char* path, const unsigned char* payloads,
 
 struct Receiver {
   int fd = -1;
-  int payload_size = 0;
+  int payload_size = 0;   // slot size; in exact mode also the size filter
+  int exact = 1;          // 0: accept any datagram <= payload_size
   long long capacity = 0;
   std::vector<unsigned char> ring;
   std::vector<long long> times;
+  std::vector<int> lens;  // actual datagram length per slot
   std::atomic<long long> head{0};   // next write slot (monotonic)
   std::atomic<long long> tail{0};   // next read slot  (monotonic)
   std::atomic<long long> dropped{0};
@@ -187,7 +189,8 @@ static long long now_us() {
   return (long long)tv.tv_sec * 1000000LL + tv.tv_usec;
 }
 
-void* pp_udp_open(int port, int payload_size, long long capacity) {
+static void* udp_open_impl(int port, int payload_size, long long capacity,
+                           int exact) {
   int fd = socket(AF_INET, SOCK_DGRAM, 0);
   if (fd < 0) return nullptr;
   int one = 1;
@@ -205,27 +208,44 @@ void* pp_udp_open(int port, int payload_size, long long capacity) {
   auto* r = new Receiver();
   r->fd = fd;
   r->payload_size = payload_size;
+  r->exact = exact;
   r->capacity = capacity;
   r->ring.resize(capacity * payload_size);
   r->times.resize(capacity);
+  r->lens.resize(capacity);
   r->thread = std::thread([r]() {
     std::vector<unsigned char> buf(65536);
     while (!r->stop.load()) {
       ssize_t got = recv(r->fd, buf.data(), buf.size(), 0);
-      if (got != (ssize_t)r->payload_size) continue;  // timeout or wrong size
+      if (got <= 0) continue;                          // timeout/error
+      if (r->exact ? (got != (ssize_t)r->payload_size)
+                   : (got > (ssize_t)r->payload_size))
+        continue;                                      // wrong/oversize
       long long h = r->head.load();
       if (h - r->tail.load() >= r->capacity) {        // ring full: drop oldest
         r->tail.fetch_add(1);
         r->dropped.fetch_add(1);
       }
       long long slot = h % r->capacity;
-      memcpy(r->ring.data() + slot * r->payload_size, buf.data(),
-             r->payload_size);
+      unsigned char* dst = r->ring.data() + slot * r->payload_size;
+      memcpy(dst, buf.data(), got);
+      if (got < (ssize_t)r->payload_size)
+        memset(dst + got, 0, r->payload_size - got);   // zero-pad the slot
       r->times[slot] = now_us();
+      r->lens[slot] = (int)got;
       r->head.store(h + 1);
     }
   });
   return r;
+}
+
+void* pp_udp_open(int port, int payload_size, long long capacity) {
+  return udp_open_impl(port, payload_size, capacity, /*exact=*/1);
+}
+
+// Variable-size variant: accepts any datagram up to slot_size bytes.
+void* pp_udp_open_any(int port, int slot_size, long long capacity) {
+  return udp_open_impl(port, slot_size, capacity, /*exact=*/0);
 }
 
 // Drain up to max_packets into out/out_times; returns the count.
@@ -240,6 +260,27 @@ long long pp_udp_poll(void* handle, unsigned char* out, long long* out_times,
     memcpy(out + n * r->payload_size,
            r->ring.data() + slot * r->payload_size, r->payload_size);
     out_times[n] = r->times[slot];
+    r->tail.store(t + 1);
+    n++;
+  }
+  return n;
+}
+
+// Poll variant that also reports each datagram's actual length (for
+// variable-size receivers, e.g. the mixed-message INS port).
+long long pp_udp_poll_lens(void* handle, unsigned char* out,
+                           long long* out_times, int* out_lens,
+                           long long max_packets) {
+  auto* r = (Receiver*)handle;
+  long long n = 0;
+  while (n < max_packets) {
+    long long t = r->tail.load();
+    if (t >= r->head.load()) break;
+    long long slot = t % r->capacity;
+    memcpy(out + n * r->payload_size,
+           r->ring.data() + slot * r->payload_size, r->payload_size);
+    out_times[n] = r->times[slot];
+    out_lens[n] = r->lens[slot];
     r->tail.store(t + 1);
     n++;
   }

@@ -168,3 +168,52 @@ def unpack_inspva(data: bytes) -> Dict[str, object]:
         "seconds_pos": vals[4], "llh_deg": vals[5:8], "vel": vals[8:11],
         "eulr_deg": vals[11:14], "ins_status": vals[14],
     }
+
+
+# --- RawINS / BestGPSPos wire structs ----------------------------------------
+# Reference type_defs.h:61-79 declares these (ids 325/423) and INSSource
+# dispatches on them, but both handler cases are "FIXME: do some useful
+# stuffs" stubs (INSSource.cxx:233-238).  Here they are first-class: RawINS
+# feeds an IMU sample log / dropout detection, BestGPSPos feeds GPS solution
+# health gating (runtime.pipeline).
+
+_RAWINS = struct.Struct("<HHIi3i")
+RAWINS_BYTES = _RAWINS.size          # 24
+
+_BESTGPSPOS = struct.Struct("<HHIiif")
+BESTGPSPOS_BYTES = _BESTGPSPOS.size  # 20
+
+
+def pack_rawins(week_number: int, milliseconds: int, imu_status: int,
+                accel_raw: Tuple[int, int, int]) -> bytes:
+    return _RAWINS.pack(C.INS_MSG_RAWINS, week_number, milliseconds,
+                        imu_status, *accel_raw)
+
+
+def unpack_rawins(data: bytes) -> Dict[str, object]:
+    vals = _RAWINS.unpack(data[:RAWINS_BYTES])
+    return {
+        "message_id": vals[0], "week_number": vals[1],
+        "milliseconds": vals[2], "imu_status": vals[3],
+        "accel_raw": vals[4:7],
+    }
+
+
+def pack_bestgpspos(week_number: int, milliseconds: int, solution: int,
+                    gps_status: int, diff_age: float) -> bytes:
+    return _BESTGPSPOS.pack(C.INS_MSG_BESTGPSPOS, week_number, milliseconds,
+                            solution, gps_status, diff_age)
+
+
+def unpack_bestgpspos(data: bytes) -> Dict[str, object]:
+    vals = _BESTGPSPOS.unpack(data[:BESTGPSPOS_BYTES])
+    return {
+        "message_id": vals[0], "week_number": vals[1],
+        "milliseconds": vals[2], "solution": vals[3],
+        "gps_status": vals[4], "diff_age": vals[5],
+    }
+
+
+def peek_message_id(data: bytes) -> int:
+    """Message id of any INS-port datagram (first little-endian uint16)."""
+    return int(struct.unpack_from("<H", data)[0]) if len(data) >= 2 else -1

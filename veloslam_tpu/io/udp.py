@@ -30,18 +30,27 @@ DEFAULT_PACE_US = 200          # reference PacketFileSender.cxx:78
 
 
 class UdpReceiver:
-    """Receive fixed-size UDP payloads into a bounded ring buffer."""
+    """Receive UDP payloads into a bounded ring buffer.
+
+    Default (exact) mode accepts only datagrams of exactly `payload_size`
+    bytes (sensor data packets have fixed sizes).  With `variable=True`
+    any datagram up to `payload_size` is accepted and `poll_var` reports
+    per-datagram lengths — for ports carrying mixed message types (the
+    INS port multiplexes InsPVA/RawINS/BestGPSPos, reference
+    INSSource.cxx:217-242)."""
 
     def __init__(self, port: int, payload_size: int, capacity: int = 16384,
-                 force_python: bool = False):
+                 force_python: bool = False, variable: bool = False):
         self.port = port
         self.payload_size = payload_size
         self.capacity = capacity
+        self.variable = variable
         self._native = None if force_python else native.load()
         self._handle = None
         if self._native is not None:
-            self._handle = self._native.pp_udp_open(port, payload_size,
-                                                    capacity)
+            opener = (self._native.pp_udp_open_any if variable
+                      else self._native.pp_udp_open)
+            self._handle = opener(port, payload_size, capacity)
             if not self._handle:
                 self._native = None
         if self._native is None:
@@ -71,7 +80,9 @@ class UdpReceiver:
                 continue
             except OSError:
                 break
-            if len(data) == self.payload_size:
+            ok = (len(data) <= self.payload_size if self.variable
+                  else len(data) == self.payload_size)
+            if ok and data:
                 self._queue.append((data, int(time.time() * 1e6)))
 
     def poll(self, max_packets: int = 4096
@@ -95,6 +106,31 @@ class UdpReceiver:
         pkts = np.frombuffer(b"".join(d for d, _ in items),
                              np.uint8).reshape(len(items), self.payload_size)
         return pkts, np.asarray([t for _, t in items], np.int64)
+
+    def poll_var(self, max_packets: int = 4096
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Drain up to max_packets from a variable-size receiver; returns
+        ((n, payload_size) zero-padded uint8, (n,) int lengths, times µs)."""
+        if self._native is not None:
+            out = np.empty((max_packets, self.payload_size), np.uint8)
+            times = np.empty(max_packets, np.int64)
+            lens = np.empty(max_packets, np.int32)
+            n = self._native.pp_udp_poll_lens(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                times.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                max_packets)
+            return out[:n], lens[:n], times[:n]
+        items = []
+        while self._queue and len(items) < max_packets:
+            items.append(self._queue.popleft())
+        pkts = np.zeros((len(items), self.payload_size), np.uint8)
+        lens = np.empty(len(items), np.int32)
+        for i, (d, _) in enumerate(items):
+            pkts[i, :len(d)] = np.frombuffer(d, np.uint8)
+            lens[i] = len(d)
+        return pkts, lens, np.asarray([t for _, t in items], np.int64)
 
     def close(self):
         if self._native is not None:

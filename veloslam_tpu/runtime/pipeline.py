@@ -29,8 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from veloslam_tpu import constants as C
 from veloslam_tpu.config import SlamConfig
-from veloslam_tpu.core import se3
+from veloslam_tpu.core import se3, timesync
 from veloslam_tpu.core.timeline import PoseTrack
 from veloslam_tpu.decode import calibration as calib_mod
 from veloslam_tpu.decode.decode import (DeviceCalib, compensate,
@@ -86,6 +87,16 @@ class SlamPipeline:
         self._last_ins: Optional[se3.Pose] = None
         self._last_est: Optional[se3.Pose] = None
         self._kf_count_at_last_close = 0
+        # INS-port auxiliary message state (RawINS / BestGPSPos — the
+        # reference declares these but leaves both handlers as FIXME
+        # stubs, INSSource.cxx:233-238).
+        self.imu_log: List[Tuple[int, int, Tuple[int, int, int]]] = []
+        self.ins_health = {
+            "inspva_count": 0, "rawins_count": 0, "bestgps_count": 0,
+            "unknown_count": 0, "last_imu_status": None,
+            "last_gps_solution": None, "last_gps_status": None,
+            "last_diff_age": None,
+        }
 
     # --- inputs -------------------------------------------------------------
 
@@ -194,6 +205,40 @@ class SlamPipeline:
         for s in range(0, (len(pkts) // B) * B, B):
             scratch.process_packets(pkts[s:s + B], times[s:s + B])
 
+    def handle_ins_datagram(self, raw: bytes, conv) -> Optional[int]:
+        """Dispatch one INS-port datagram on its message id (reference
+        INSSource.cxx:217-242, with the RawINS/BestGPSPos stubs actually
+        implemented): InsPVA → pose track (returns its timestamp µs);
+        RawINS → IMU sample log + status; BestGPSPos → GPS solution
+        health."""
+        mid = pk.peek_message_id(raw)
+        h = self.ins_health
+        if mid == C.INS_MSG_INSPVA and len(raw) >= pk.INSPVA_BYTES:
+            msg = pk.unpack_inspva(raw)
+            t_us, q, t3, v = conv.convert(msg)
+            self.feed_ins_pose(t_us, q, t3, v)
+            h["inspva_count"] += 1
+            return t_us
+        if mid == C.INS_MSG_RAWINS and len(raw) >= pk.RAWINS_BYTES:
+            msg = pk.unpack_rawins(raw)
+            t_us = timesync.ins_timestamp_us(
+                msg["week_number"], msg["milliseconds"],
+                msg["week_number"], msg["milliseconds"] / 1e3)
+            self.imu_log.append((t_us, msg["imu_status"],
+                                 tuple(msg["accel_raw"])))
+            h["rawins_count"] += 1
+            h["last_imu_status"] = msg["imu_status"]
+            return None
+        if mid == C.INS_MSG_BESTGPSPOS and len(raw) >= pk.BESTGPSPOS_BYTES:
+            msg = pk.unpack_bestgpspos(raw)
+            h["bestgps_count"] += 1
+            h["last_gps_solution"] = msg["solution"]
+            h["last_gps_status"] = msg["gps_status"]
+            h["last_diff_age"] = msg["diff_age"]
+            return None
+        h["unknown_count"] += 1
+        return None
+
     def run_online(self, lidar_port: int = None, ins_port: int = None,
                    origin_llh_deg=None, duration_s: Optional[float] = None,
                    idle_timeout_s: float = 2.0,
@@ -223,23 +268,23 @@ class SlamPipeline:
         t_start = _time.monotonic()
         last_rx = t_start
 
+        # The INS port multiplexes message types of different sizes
+        # (InsPVA 104 B, RawINS 24 B, BestGPSPos 20 B) — variable receiver.
         with UdpReceiver(lidar_port, C.HDL_PACKET_BYTES) as hdl_rx, \
-                UdpReceiver(ins_port, pkmod.INSPVA_BYTES) as ins_rx:
+                UdpReceiver(ins_port, pkmod.INSPVA_BYTES,
+                            variable=True) as ins_rx:
             if on_ready is not None:
                 on_ready()          # ports are bound; senders may start
             while True:
                 if (duration_s is not None
                         and _time.monotonic() - t_start > duration_s):
                     break
-                ins_pkts, _ = ins_rx.poll()
-                for raw in ins_pkts:
-                    msg = pkmod.unpack_inspva(raw.tobytes())
-                    if msg["message_id"] != C.INS_MSG_INSPVA:
-                        continue
-                    t_us, q, t3, v = conv.convert(msg)
-                    if first_ins_us is None:
+                ins_pkts, ins_lens, _ = ins_rx.poll_var()
+                for raw, ln in zip(ins_pkts, ins_lens):
+                    t_us = self.handle_ins_datagram(
+                        raw[:ln].tobytes(), conv)
+                    if t_us is not None and first_ins_us is None:
                         first_ins_us = t_us
-                    self.feed_ins_pose(t_us, q, t3, v)
                 pkts, rx_times = hdl_rx.poll()
                 if len(pkts):
                     # Resolve GPS µs-into-hour stamps to absolute time.
@@ -480,6 +525,7 @@ class SlamPipeline:
             "keyframe_times_us": np.asarray(self.keyframe_times, np.int64),
             "map_patches": self.map.n_patches,
             "timing": self.timers.summary(),
+            "ins_health": dict(self.ins_health),
         }
 
     def save_checkpoint(self, dirname: str) -> None:
