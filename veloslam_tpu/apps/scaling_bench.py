@@ -38,14 +38,96 @@ def _timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+def _run_multiprocess(nprocs: int, argv_rest) -> int:
+    """Spawn nprocs OS processes (1 CPU device each, Gloo collectives) and
+    run the worker path in each — the no-pod approximation of N hosts."""
+    import socket
+    import subprocess
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    import os
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "veloslam_tpu.apps.scaling_bench",
+         "--worker", f"{pid}:{nprocs}:{port}"] + list(argv_rest),
+        env=env) for pid in range(nprocs)]
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    return rc
+
+
+def _worker_bench(args) -> int:
+    """Per-process body of --processes mode: partition the map by tile
+    hash, run the SAME shard_map registration over the global mesh, time
+    it; process 0 prints the JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from veloslam_tpu.core import se3
+    from veloslam_tpu.parallel import dist, sharded
+    from veloslam_tpu.registration import gicp
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-60, 60, (args.points, 3)).astype(np.float32)
+    pts[:, 2] = np.abs(pts[:, 2]) * 0.1
+    mask = np.ones(args.points, bool)
+    full = gicp.build_plane_grid(jnp.asarray(pts), jnp.asarray(mask),
+                                 np.zeros(3), 1.0, capacity=args.capacity)
+
+    n = dist.process_count()
+    rows, origin, vs = dist.partition_plane_grid_rows(
+        full, dist.process_index(), n)
+    mesh = dist.global_mesh(data_axis=1)
+    target = dist.assemble_global_plane_grid(mesh, rows, origin, vs)
+    g_pts = dist.replicate(mesh, [pts])[0]
+    g_mask = dist.replicate(mesh, [mask])[0]
+
+    def run():
+        return sharded.register_sharded(mesh, g_pts, g_mask, target,
+                                        se3.Pose.identity(),
+                                        iterations=args.iters)
+    t = _timeit(run)
+    if dist.process_index() == 0:
+        print(json.dumps({
+            "metric": "multiprocess_register_ms",
+            "processes": n, "devices": jax.device_count(),
+            "ms": round(t * 1e3, 3)}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--virtual", type=int, metavar="N",
                     help="force CPU with N virtual devices")
+    ap.add_argument("--processes", type=int, metavar="N",
+                    help="spawn N OS processes (multi-host simulation; "
+                         "Gloo collectives between processes)")
+    ap.add_argument("--worker", metavar="PID:N:PORT",
+                    help=argparse.SUPPRESS)
     ap.add_argument("--points", type=int, default=32768)
     ap.add_argument("--capacity", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args(argv)
+
+    if args.processes:
+        rest = []
+        for k in ("points", "capacity", "iters"):
+            rest += [f"--{k}", str(getattr(args, k))]
+        return _run_multiprocess(args.processes, rest)
+
+    if args.worker:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        pid, n, port = (int(x) for x in args.worker.split(":"))
+        from veloslam_tpu.parallel import dist
+        dist.init_distributed(coordinator_address=f"127.0.0.1:{port}",
+                              num_processes=n, process_id=pid)
+        return _worker_bench(args)
 
     import os
     if args.virtual:
