@@ -134,3 +134,31 @@ def test_slam_run_cli(tmp_path):
     assert "ate" in metrics
     traj = np.loadtxt(os.path.join(out, "trajectory.txt"))
     assert traj.shape[1] == 8
+
+
+def test_framestore_async_spill(tmp_path):
+    """Background writer parity (HDLManager.cxx:321-389): eviction never
+    blocks, queued frames stay readable, flush() lands them on disk."""
+    import os
+
+    spill = str(tmp_path / "spill")
+    fs = FrameStore(capacity=2, spill_dir=spill, async_spill=True)
+    for k in range(8):
+        fs.add_frame(1000 * k, {"xyz": np.full((1, 2, 3), k, np.float32),
+                                "mask": np.ones((1, 2), bool)})
+    # evicted frames readable immediately (pending or already written)
+    for k in range(8):
+        f = fs.get_frame_at(1000 * k)
+        assert f is not None and f["xyz"][0, 0, 0] == k
+    fs.flush()
+    on_disk = {p for p in os.listdir(spill)}
+    # capacity=2 in RAM; at least the 6 evicted frames must be files
+    assert len(on_disk) >= 6, on_disk
+    # full checkpoint resumes after async writes
+    meta = str(tmp_path / "m.npz")
+    fs.save_meta(meta)
+    fs2 = FrameStore(capacity=2, spill_dir=spill)
+    fs2.load_meta(meta)
+    for k in range(8):
+        f = fs2.get_frame_at(1000 * k)
+        assert f is not None and f["xyz"][0, 0, 0] == k

@@ -14,6 +14,8 @@ queries are Timeline binary searches instead of bucket scans.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -24,10 +26,17 @@ FrameDict = Dict[str, np.ndarray]
 
 
 class FrameStore:
-    """Bounded cache of decoded frames keyed by start time (int64 µs)."""
+    """Bounded cache of decoded frames keyed by start time (int64 µs).
+
+    With `async_spill` (default), evicted frames are persisted by a
+    background writer thread — the SLAM loop never blocks on disk, the
+    reference's writer-thread design (HDLManager.cxx:321-389, double
+    buffer hardDriveBuffer1/2).  Frames queued for writing remain readable
+    (pending set) until the writer finishes."""
 
     def __init__(self, capacity: int = 200,
-                 spill_dir: Optional[str] = None):
+                 spill_dir: Optional[str] = None,
+                 async_spill: bool = True):
         self.capacity = capacity          # reference default 200 frames
         self.spill_dir = spill_dir
         self._frames: Dict[int, FrameDict] = {}
@@ -35,6 +44,39 @@ class FrameStore:
         self._meta = Timeline(("carpose_q", "carpose_t", "n_points"))
         self._touch: Dict[int, int] = {}
         self._clock = 0
+        self._lock = threading.Lock()
+        self._pending: Dict[int, FrameDict] = {}
+        self._wq: Optional[queue.Queue] = None
+        self._writer: Optional[threading.Thread] = None
+        self._async = async_spill and spill_dir is not None
+
+    # --- background writer (HDLManager writer-thread parity) ----------------
+
+    def _ensure_writer(self) -> None:
+        if self._wq is None:
+            self._wq = queue.Queue()
+            self._writer = threading.Thread(target=self._writer_loop,
+                                            daemon=True)
+            self._writer.start()
+
+    def _writer_loop(self) -> None:
+        while True:
+            item = self._wq.get()
+            try:
+                if item is None:
+                    return
+                t, frame, path = item
+                np.savez_compressed(path, **frame)
+                with self._lock:
+                    self._spilled[t] = path
+                    self._pending.pop(t, None)
+            finally:
+                self._wq.task_done()
+
+    def flush(self) -> None:
+        """Block until all queued spills are on disk."""
+        if self._wq is not None:
+            self._wq.join()
 
     def __len__(self) -> int:
         return len(self._meta)
@@ -65,9 +107,19 @@ class FrameStore:
             if self.spill_dir is not None:
                 os.makedirs(self.spill_dir, exist_ok=True)
                 path = os.path.join(self.spill_dir, f"frame_{lru}.npz")
-                if lru not in self._spilled:
+                with self._lock:
+                    already = lru in self._spilled or lru in self._pending
+                if already:
+                    continue
+                if self._async:
+                    self._ensure_writer()
+                    with self._lock:
+                        self._pending[lru] = frame
+                    self._wq.put((lru, frame, path))
+                else:
                     np.savez_compressed(path, **frame)
-                self._spilled[lru] = path
+                    with self._lock:
+                        self._spilled[lru] = path
             # without spill_dir the frame data is dropped; meta remains
 
     # --- reads (prepareFrame analog: HDLManager.cxx:195-211) ----------------
@@ -77,8 +129,13 @@ class FrameStore:
         if start_us in self._frames:
             self._touch[start_us] = self._clock
             return self._frames[start_us]
-        if start_us in self._spilled:
-            data = np.load(self._spilled[start_us], allow_pickle=False)
+        with self._lock:
+            pending = self._pending.get(start_us)
+            path = self._spilled.get(start_us)
+        if pending is not None:       # queued for write — still in RAM
+            return pending
+        if path is not None:
+            data = np.load(path, allow_pickle=False)
             frame = {k: data[k] for k in data.files}
             self._frames[start_us] = frame
             self._touch[start_us] = self._clock
@@ -136,6 +193,7 @@ class FrameStore:
         target = target_dir or self.spill_dir
         if target is None:
             return
+        self.flush()              # pending async writes land in _spilled
         os.makedirs(target, exist_ok=True)
         for t, frame in self._frames.items():
             path = os.path.join(target, f"frame_{t}.npz")

@@ -262,12 +262,24 @@ class StreamingOdometry:
     def run(self, pkts: np.ndarray, times_us: np.ndarray, track,
             batch: int = 512) -> dict:
         """Stream a whole recording; returns trajectory dict (single
-        readback at the end)."""
+        readback at the end).
+
+        Double-buffered device feed (the reference's hardDriveBuffer1/2
+        idea, HDLManager.h:210-211, turned toward H2D): batch k+1 uploads
+        asynchronously while the device computes batch k, so the stream
+        never stalls on the host→device link."""
         n = (len(pkts) // batch) * batch
-        for s in range(0, n, batch):
+        starts = list(range(0, n, batch))
+        next_dev = jax.device_put(pkts[starts[0]:starts[0] + batch]) \
+            if starts else None
+        for i, s in enumerate(starts):
+            cur = next_dev
+            if i + 1 < len(starts):
+                s2 = starts[i + 1]
+                next_dev = jax.device_put(pkts[s2:s2 + batch])  # async H2D
             t0, t1 = int(times_us[s]), int(times_us[s + batch - 1])
             w = track.window(t0, t1, anchor_us=t0)
-            self.feed(pkts[s:s + batch], times_us[s:s + batch], w)
+            self.feed(cur, times_us[s:s + batch], w)
         st = self.state
         n_frames = int(st.n_frames)          # single readback point
         return {
