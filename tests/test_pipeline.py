@@ -162,3 +162,23 @@ def test_framestore_async_spill(tmp_path):
     for k in range(8):
         f = fs2.get_frame_at(1000 * k)
         assert f is not None and f["xyz"][0, 0, 0] == k
+
+
+def test_pipeline_d2d_method(sim_drive):
+    """The D2D registration method (RegistrationConfig.method="d2d") must
+    track ground truth at least as well as point-to-plane end-to-end."""
+    import dataclasses
+
+    seq, paths = sim_drive
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, registration=dataclasses.replace(cfg.registration,
+                                              method="d2d"))
+    pipe = SlamPipeline(cfg)
+    res = pipe.run_offline(paths["pcap"], paths["ins"])
+    assert res["n_frames"] >= 10
+    assert res["registered_fraction"] > 0.8, res["registered_fraction"]
+    ref = interpolate_positions(res["times_us"], seq["ins_t_us"],
+                                seq["ins_pos"])
+    m = ate(res["positions"][:, :2], ref[:, :2], align=False)
+    assert m["rmse"] < 0.15, m

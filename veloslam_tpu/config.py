@@ -65,6 +65,10 @@ class PipelineConfig:
 class RegistrationConfig:
     """Scan-to-scan and scan-to-map registration."""
 
+    # "gicp" (point-to-plane, planarity-gated), or "d2d"
+    # (Gaussian-to-Gaussian, registration.d2d — no planarity gate needed,
+    # better on corner-heavy scenes, iterates over voxels not points).
+    method: str = "gicp"
     voxel_size: float = 1.0
     # Fixed voxel-table capacity per scan (static shape for jit).
     scan_voxel_capacity: int = 8192

@@ -339,6 +339,52 @@ def clamped_inverse(cov: jax.Array, floor_ratio: float = 0.01,
     return op(v1, w1) + op(v2, w2) + op(v3, w3)
 
 
+def normalized_cov(cov: jax.Array, floor: float = 1e-3,
+                   plane_inflation: float = 100.0) -> jax.Array:
+    """Scale-normalized covariance for D2D weighting: eigenvalues remapped
+    to max(λᵢ/λ₁, floor) + planarity²·plane_inflation (in-plane only),
+    eigenvectors kept.
+
+    Two problems with raw covariances under the mean-matching D2D cost:
+      1. Scale: in-plane weight 1/λ ≈ 12/voxel_size² is large in absolute
+         terms; normalizing by λ₁ makes it scale-free (fast-GICP/VGICP
+         (1,1,ε) regularization, anisotropy-preserving variant).
+      2. Bias: a voxel MEAN's in-plane position reflects the sampling
+         density, not the surface — and LiDAR sampling density is
+         anisotropic and moves with the sensor, so against an accumulated
+         map every ground voxel's in-plane residual points coherently
+         backward (measured: a −0.35 m/frame drag).  For plane-like voxels
+         the in-plane mean carries no geometric information, so their
+         in-plane eigenvalues are inflated by planarity²·plane_inflation —
+         planar voxels degrade gracefully to point-to-plane behavior while
+         corner/edge voxels (low planarity) keep their full 3-D structure,
+         which is the whole point of D2D.
+    """
+    l1, l2, l3 = eigvals3(cov)
+    l1 = jnp.maximum(l1, 1e-12)
+    v3 = smallest_eigenvector(cov)
+    v1 = _nullspace_dir(cov - l1[..., None, None]
+                        * jnp.eye(3, dtype=cov.dtype))
+    v1 = v1 - jnp.sum(v1 * v3, -1, keepdims=True) * v3
+    n1 = jnp.linalg.norm(v1, axis=-1, keepdims=True)
+    alt = jnp.cross(v3, jnp.where(
+        jnp.abs(v3[..., :1]) < 0.9,
+        jnp.broadcast_to(jnp.array([1.0, 0, 0], cov.dtype), v3.shape),
+        jnp.broadcast_to(jnp.array([0, 1.0, 0], cov.dtype), v3.shape)))
+    alt = alt / jnp.linalg.norm(alt, axis=-1, keepdims=True)
+    v1 = jnp.where(n1 > 1e-12, v1 / jnp.maximum(n1, 1e-12), alt)
+    v2 = jnp.cross(v3, v1)
+
+    def op(v, lam):
+        return lam[..., None, None] * v[..., :, None] * v[..., None, :]
+
+    planarity = jnp.clip((l2 - l3) / l1, 0.0, 1.0)
+    infl = planarity * planarity * plane_inflation
+    return (op(v1, jnp.maximum(l1 / l1, floor) + infl)
+            + op(v2, jnp.maximum(l2 / l1, floor) + infl)
+            + op(v3, jnp.maximum(l3 / l1, floor)))
+
+
 def smallest_eigenvector(cov: jax.Array, eps: float = 1e-9) -> jax.Array:
     """Unit eigenvector of the smallest eigenvalue for batched symmetric
     (..., 3, 3) matrices — the plane normal of a voxel Gaussian.

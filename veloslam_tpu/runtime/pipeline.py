@@ -43,6 +43,7 @@ from veloslam_tpu.io import packets as pk
 from veloslam_tpu.io.pcap import read_lidar_packets
 from veloslam_tpu.map.voxelmap import VoxelMap
 from veloslam_tpu.registration import gicp
+from veloslam_tpu.registration import voxel as vx
 from veloslam_tpu.runtime.framestore import FrameStore
 from veloslam_tpu.utils.profiling import StageTimers
 
@@ -386,18 +387,32 @@ class SlamPipeline:
         prior_t = np.asarray(T_prior.t)
         roi = self.map.roi_grid(float(prior_t[0]), float(prior_t[1]))
         if roi is not None:
-            target = gicp.plane_grid_from(
-                roi, min_points=rc.min_points_per_voxel,
-                min_planarity=rc.min_planarity)
             with self.timers.stage("register"):
-                res = gicp.register(
-                    jnp.asarray(pts), jnp.asarray(mask), target, T_prior,
-                    iterations=rc.max_iterations, damping=rc.damping,
-                    huber_delta=rc.huber_delta,
-                    max_dist=rc.max_correspondence_dist)
+                if rc.method == "d2d":
+                    from veloslam_tpu.registration import d2d
+                    src = vx.build_grid(
+                        jnp.asarray(pts), jnp.asarray(mask),
+                        roi.origin, roi.voxel_size,
+                        capacity=rc.scan_voxel_capacity)
+                    usable = d2d.usable_mask(
+                        roi, min_points=rc.min_points_per_voxel)
+                    res = d2d.register_d2d(
+                        src, roi, usable, T_prior,
+                        iterations=rc.max_iterations, damping=rc.damping,
+                        max_dist=rc.max_correspondence_dist)
+                else:
+                    target = gicp.plane_grid_from(
+                        roi, min_points=rc.min_points_per_voxel,
+                        min_planarity=rc.min_planarity)
+                    res = gicp.register(
+                        jnp.asarray(pts), jnp.asarray(mask), target,
+                        T_prior, iterations=rc.max_iterations,
+                        damping=rc.damping, huber_delta=rc.huber_delta,
+                        max_dist=rc.max_correspondence_dist)
             n_matched = int(res.n_matched)
             mean_error = float(res.mean_error)
-            if n_matched > 500 and np.isfinite(mean_error):
+            min_matched = 50 if rc.method == "d2d" else 500  # voxels vs pts
+            if n_matched > min_matched and np.isfinite(mean_error):
                 T_est = res.pose
                 registered = True
 
