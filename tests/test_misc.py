@@ -118,3 +118,39 @@ def test_pipeline_finalize_rebuilds_map(tmp_path):
     roi = pipe.map.roi_grid(2.0, 0.0)
     assert roi is not None
     assert int(np.asarray(roi.occupied).sum()) > 50
+
+
+def test_bev_viewer_artifact(tmp_path):
+    """utils.viewer writes a self-contained HTML artifact with valid
+    embedded JSON (the headless SLAMViewer replacement)."""
+    import json
+    import re
+
+    import numpy as np
+
+    from veloslam_tpu.utils.viewer import write_bev_html
+
+    res = {
+        "times_us": np.arange(5, dtype=np.int64) * 100000 + 10**15,
+        "positions": np.stack([np.arange(5.0), np.zeros(5),
+                               np.zeros(5)], -1),
+        "keyframe_positions": np.array([[0.0, 0, 0], [4.0, 0, 0]]),
+        "n_frames": 5, "n_keyframes": 2, "n_closures": 1,
+        "registered_fraction": 1.0, "map_patches": 3,
+    }
+    path = write_bev_html(str(tmp_path / "bev.html"), res,
+                          ins_xy=np.array([[0.0, 0], [4.0, 0.1]]),
+                          landmarks_xy=np.array([[1.0, 2.0]]),
+                          occupancy_xy=np.array([[0.5, 0.5], [1.5, 0.5]]),
+                          closures=[(0, 1)])
+    html = open(path).read()
+    d = re.search(r"const D = (\{.*?\});\n", html, re.S)
+    data = json.loads(d.group(1))
+    assert len(data["traj"]) == 5
+    assert data["traj"][-1]["x"] == 4.0
+    assert data["traj"][-1]["t"] == 0.4      # rebased to stream start
+    assert data["kf"] == [[0.0, 0.0], [4.0, 0.0]]
+    assert data["closures"] == [[0, 1]]
+    assert data["stats"]["registered"] == 1.0
+    # artifact is self-contained: no external resource references
+    assert "http://" not in html and "https://" not in html

@@ -39,6 +39,10 @@ def main(argv=None) -> int:
                                  "(t_us x y z per row) for ATE")
     ap.add_argument("--platform", choices=["cpu", "tpu", "default"],
                     default="default")
+    ap.add_argument("--bev", nargs="?", const="bev.html", metavar="FILE",
+                    help="write an interactive BEV trajectory artifact "
+                         "(self-contained HTML; default bev.html in "
+                         "--out-dir) — the headless SLAMViewer")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -109,6 +113,20 @@ def main(argv=None) -> int:
 
     if args.checkpoint_dir:
         pipe.save_checkpoint(args.checkpoint_dir)
+
+    if args.bev:
+        from veloslam_tpu.utils.viewer import write_bev_html
+        occ_xy, posts_xy = pipe.map.bev_layers()
+        ins_xy = (np.asarray([gt["pos"][i][:2]
+                              for i in range(len(gt["t_us"]))])
+                  if gt is not None else None)
+        bev_path = (args.bev if os.path.isabs(args.bev)
+                    else os.path.join(args.out_dir, args.bev))
+        write_bev_html(bev_path, res, ins_xy=ins_xy,
+                       landmarks_xy=posts_xy, occupancy_xy=occ_xy,
+                       closures=pipe.closures,
+                       title=f"veloslam_tpu — {os.path.basename(pcap_path)}")
+        print(f"BEV artifact: {bev_path}")
 
     print(f"frames: {res['n_frames']}  keyframes: {res['n_keyframes']}  "
           f"closures: {res['n_closures']}  "

@@ -193,6 +193,27 @@ class VoxelMap:
                              vs, capacity=self.cfg.voxels_per_patch)
         self.integrate_grid(grid)
 
+    def bev_layers(self, *, max_cells: int = 20000, min_count: float = 4.0
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """(occupancy_xy, post_xy) across ALL patches (resident + spilled)
+        for the BEV artifact (utils.viewer).  Occupancy is subsampled to
+        `max_cells` cell centers."""
+        occ, posts = [], []
+        for idx in sorted(set(self._patches) | set(self._spilled)):
+            patch = self._materialize(idx, create=False)
+            if patch is None:
+                continue
+            sel = patch.count >= min_count
+            occ.append((patch.coords[sel, :2] + 0.5) * self.cfg.voxel_size)
+            if len(patch.landmarks.posts):
+                posts.append(patch.landmarks.posts[:, :2])
+        occ_xy = (np.concatenate(occ) if occ else np.zeros((0, 2)))
+        if len(occ_xy) > max_cells:
+            step = int(np.ceil(len(occ_xy) / max_cells))
+            occ_xy = occ_xy[::step]
+        posts_xy = (np.concatenate(posts) if posts else np.zeros((0, 2)))
+        return occ_xy, posts_xy
+
     # --- ROI assembly (the registration working set) -----------------------
 
     def roi_patches(self, x: float, y: float) -> List[Tuple[int, int]]:
