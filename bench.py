@@ -28,9 +28,10 @@ import numpy as np
 #     intra_op_parallelism_threads=1" JAX_PLATFORMS=cpu \
 #     python bench.py --cpu-reference
 # on this container's host CPU (see BASELINE.md).
-REFERENCE_CPU_FPS = 3.57
+REFERENCE_CPU_FPS = 4.046    # re-measured at BATCH_PACKETS=2048
 
-BATCH_PACKETS = 512
+BATCH_PACKETS = 2048     # ≈ 11.3 HDL-32 revolutions per dispatched program
+MAX_FRAMES_BATCH = 16
 HDL32_PACKETS_PER_SECOND = 1e6 / 46.08 / 12      # ≈ 1808.4
 FRAMES_PER_BATCH = BATCH_PACKETS / HDL32_PACKETS_PER_SECOND * 10.0
 REG_POINTS = 32768
@@ -131,7 +132,7 @@ def run_bench():
                               track_v)
         fb, n_done, starts, carry2, open_start = assemble_frames(
             dec, xyz_w, rel_s, carry, jnp.asarray(0.0, jnp.float32),
-            model="hdl32", n_beams=32)
+            model="hdl32", n_beams=32, max_frames=MAX_FRAMES_BATCH)
         return fb.n_points, n_done, carry2
 
     @jax.jit
