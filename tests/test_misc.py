@@ -154,3 +154,98 @@ def test_bev_viewer_artifact(tmp_path):
     assert data["stats"]["registered"] == 1.0
     # artifact is self-contained: no external resource references
     assert "http://" not in html and "https://" not in html
+
+
+def test_real_veloview_db_xml_fixture(tmp_path):
+    """Parse a VeloView-style db.xml with boost-serialization noise the
+    reference's loader tolerates (class_id/tracking_level/version
+    attributes, extra per-laser fields like minIntensity_) — not just our
+    own writer's output (reference HDLParser.cxx:771-858)."""
+    import numpy as np
+
+    from veloslam_tpu.decode import calibration
+
+    rng = np.random.default_rng(5)
+    vert = np.concatenate([np.linspace(2.0, -8.33, 32),
+                           np.linspace(-8.83, -24.33, 32)])
+    rot = rng.uniform(-3, 3, 64)
+    dist_cm = rng.uniform(100, 160, 64)      # centimeters in the file
+    voff_cm = rng.uniform(19, 22, 64)
+    hoff_cm = rng.uniform(-3, 3, 64)
+
+    items = []
+    for i in range(64):
+        items.append(f"""
+      <item class_id="3" tracking_level="0" version="1">
+        <px class_id="4" tracking_level="1" version="0" object_id="_{i}">
+          <id_>{i}</id_>
+          <rotCorrection_>{rot[i]:.6f}</rotCorrection_>
+          <vertCorrection_>{vert[i]:.6f}</vertCorrection_>
+          <distCorrection_>{dist_cm[i]:.6f}</distCorrection_>
+          <distCorrectionX_>{dist_cm[i] + 1:.6f}</distCorrectionX_>
+          <distCorrectionY_>{dist_cm[i] + 2:.6f}</distCorrectionY_>
+          <vertOffsetCorrection_>{voff_cm[i]:.6f}</vertOffsetCorrection_>
+          <horizOffsetCorrection_>{hoff_cm[i]:.6f}</horizOffsetCorrection_>
+          <focalDistance_>0</focalDistance_>
+          <focalSlope_>0</focalSlope_>
+          <minIntensity_>0</minIntensity_>
+          <maxIntensity_>255</maxIntensity_>
+        </px>
+      </item>""")
+    enabled = "\n".join("<item>1</item>" for _ in range(64))
+    xml = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes" ?>
+<!DOCTYPE boost_serialization>
+<boost_serialization signature="serialization::archive" version="9">
+  <DB class_id="0" tracking_level="1" version="1" object_id="_0">
+    <distLSB_>0.2</distLSB_>
+    <points_ class_id="2" tracking_level="0" version="0">
+      <count>64</count>
+      <item_version>1</item_version>
+      {''.join(items)}
+    </points_>
+    <enabled_>
+      <count>64</count>
+      {enabled}
+    </enabled_>
+  </DB>
+</boost_serialization>"""
+    path = str(tmp_path / "db.xml")
+    open(path, "w").write(xml)
+
+    cal = calibration.from_xml(path)
+    assert cal.n_lasers == 64
+    np.testing.assert_allclose(cal.vert_correction_deg, vert, atol=1e-5)
+    np.testing.assert_allclose(cal.rot_correction_deg, rot, atol=1e-5)
+    # centimeter fields converted to meters (HDLParser.cxx:837-839)
+    np.testing.assert_allclose(cal.dist_correction_m, dist_cm / 100.0,
+                               atol=1e-7)
+    np.testing.assert_allclose(cal.vert_offset_m, voff_cm / 100.0,
+                               atol=1e-7)
+    # beam re-sort LUT orders bottom->top across both blocks
+    order = cal.beam_order()
+    assert np.all(np.diff(cal.vert_correction_deg[order]) >= 0)
+
+    # decode an HDL-64 packet through this calibration: the distance
+    # correction must shift ranges by exactly dist_correction_m
+    import jax.numpy as jnp
+
+    from veloslam_tpu import constants as C
+    from veloslam_tpu.decode.decode import DeviceCalib, decode_packets
+    from veloslam_tpu.io import packets as pk
+
+    az = np.zeros((1, 12), np.uint32)
+    block_ids = np.tile(np.array([[C.BLOCK_ID_0_TO_31,
+                                   C.BLOCK_ID_32_TO_63]], np.uint32),
+                        (1, 6))
+    dist_raw = np.full((1, 12, 32), 5000, np.uint32)   # 10 m nominal
+    inten = np.full((1, 12, 32), 100, np.uint32)
+    pkt = pk.encode_lidar_packets(az, dist_raw, inten,
+                                  np.array([0], np.uint32), block_ids)
+    dec = decode_packets(jnp.asarray(pkt), DeviceCalib.from_host(cal),
+                         model="hdl64")
+    rng_m = np.asarray(dec.dist_m)[0]                  # (12, 32)
+    # upper-block firing 0 uses lasers 0..31; lower-block firing 1 32..63
+    np.testing.assert_allclose(rng_m[0], 10.0 + dist_cm[:32] / 100.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(rng_m[1], 10.0 + dist_cm[32:] / 100.0,
+                               rtol=1e-6)
