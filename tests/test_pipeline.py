@@ -182,3 +182,23 @@ def test_pipeline_d2d_method(sim_drive):
                                 seq["ins_pos"])
     m = ate(res["positions"][:, :2], ref[:, :2], align=False)
     assert m["rmse"] < 0.15, m
+
+
+def test_pipeline_ndt_method(sim_drive):
+    """The NDT registration method (RegistrationConfig.method="ndt") must
+    track ground truth end-to-end."""
+    import dataclasses
+
+    seq, paths = sim_drive
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, registration=dataclasses.replace(cfg.registration,
+                                              method="ndt"))
+    pipe = SlamPipeline(cfg)
+    res = pipe.run_offline(paths["pcap"], paths["ins"])
+    assert res["n_frames"] >= 10
+    assert res["registered_fraction"] > 0.8, res["registered_fraction"]
+    ref = interpolate_positions(res["times_us"], seq["ins_t_us"],
+                                seq["ins_pos"])
+    m = ate(res["positions"][:, :2], ref[:, :2], align=False)
+    assert m["rmse"] < 0.2, m

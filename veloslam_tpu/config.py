@@ -65,9 +65,10 @@ class PipelineConfig:
 class RegistrationConfig:
     """Scan-to-scan and scan-to-map registration."""
 
-    # "gicp" (point-to-plane, planarity-gated), or "d2d"
-    # (Gaussian-to-Gaussian, registration.d2d — no planarity gate needed,
-    # better on corner-heavy scenes, iterates over voxels not points).
+    # "gicp" (point-to-plane, planarity-gated), "d2d" (Gaussian-to-
+    # Gaussian, registration.d2d — better on corner-heavy scenes, iterates
+    # over voxels not points), or "ndt" (point-to-distribution,
+    # registration.ndt).
     method: str = "gicp"
     voxel_size: float = 1.0
     # Fixed voxel-table capacity per scan (static shape for jit).

@@ -42,24 +42,8 @@ class D2dResult(NamedTuple):
     iterations: jax.Array
 
 
-def usable_mask(grid: vx.VoxelGrid, *, min_points: float = 4.0,
-                max_linearity: float = 0.9) -> jax.Array:
-    """Structure-aware target gate for D2D.
-
-    Excludes LINE-like voxels (linearity (λ₁−λ₂)/λ₁ ≈ 1): those are scan-
-    ring arcs — 1-D sampling curves on a 2-D surface whose voxel mean
-    follows the SENSOR (ring radius), not the surface.  Under the D2D
-    cost their two near-zero eigenvalues get maximal weight in exactly
-    the sampling-biased directions, producing a coherent backward drag of
-    ~0.4 m/frame against accumulated maps (measured).  This is the D2D
-    analog of gicp.build_plane_grid's min_planarity gate, which rejects
-    the same voxels for the same reason (gicp.py).  Plane and corner
-    voxels (low linearity) pass.
-    """
-    l1, l2, _ = vx.eigvals3(grid.cov)
-    linearity = (l1 - l2) / jnp.maximum(l1, 1e-12)
-    return (grid.occupied & (grid.count >= min_points)
-            & (linearity < max_linearity))
+# Structure-aware target gate (shared with NDT; see the rationale there).
+usable_mask = vx.structure_usable
 
 
 def _skew(v):

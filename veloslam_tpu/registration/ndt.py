@@ -44,13 +44,25 @@ class NdtGrid(NamedTuple):
 
 
 def build_ndt_grid(grid: vx.VoxelGrid, *, min_points: int = 4,
+                   robust: bool = True,
                    floor_ratio: float = 0.01) -> NdtGrid:
-    """Precompute per-voxel inverse covariances from any VoxelGrid (scan- or
-    map-built) with eigenvalue-clamped conditioning (see
-    voxel.clamped_inverse — avoids the centroid-pull bias of scalar
-    regularization)."""
-    w = vx.clamped_inverse(grid.cov, floor_ratio=floor_ratio)
-    usable = grid.occupied & (grid.count >= min_points)
+    """Precompute per-voxel inverse covariances from any VoxelGrid (scan-
+    or map-built).
+
+    `robust` (default) conditions against accumulated-map sampling bias
+    the same way as D2D: weights come from the scale-normalized,
+    planarity-inflated covariance (voxel.normalized_cov — planar voxels
+    behave point-to-plane-like instead of pulling toward in-cell density)
+    and line-like scan-ring voxels are gated out
+    (voxel.structure_usable).  `robust=False` keeps the classic NDT
+    weighting (eigenvalue-clamped inverse) for scan-to-scan use where
+    both sides share the sampling pattern."""
+    if robust:
+        w = vx.regularized_inverse(vx.normalized_cov(grid.cov), eps=1e-3)
+        usable = vx.structure_usable(grid, min_points=min_points)
+    else:
+        w = vx.clamped_inverse(grid.cov, floor_ratio=floor_ratio)
+        usable = grid.occupied & (grid.count >= min_points)
     return NdtGrid(grid=grid, w=w, usable=usable)
 
 

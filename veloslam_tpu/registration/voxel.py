@@ -385,6 +385,25 @@ def normalized_cov(cov: jax.Array, floor: float = 1e-3,
             + op(v3, jnp.maximum(l3 / l1, floor)))
 
 
+def structure_usable(grid: VoxelGrid, *, min_points: float = 4.0,
+                     max_linearity: float = 0.9) -> jax.Array:
+    """Structure-aware target gate for distribution-matching costs
+    (D2D / NDT): occupied, enough points, and NOT line-like.
+
+    Line-like voxels (linearity (λ₁−λ₂)/λ₁ ≈ 1) are scan-ring arcs — 1-D
+    sampling curves on a 2-D surface whose voxel mean follows the SENSOR
+    (ring radius), not the surface; their two near-zero eigenvalues get
+    maximal weight in exactly the sampling-biased directions, producing a
+    coherent ~0.4 m/frame backward drag against accumulated maps
+    (measured).  The planarity gate in gicp.build_plane_grid rejects the
+    same voxels for the same reason.
+    """
+    l1, l2, _ = eigvals3(grid.cov)
+    linearity = (l1 - l2) / jnp.maximum(l1, 1e-12)
+    return (grid.occupied & (grid.count >= min_points)
+            & (linearity < max_linearity))
+
+
 def smallest_eigenvector(cov: jax.Array, eps: float = 1e-9) -> jax.Array:
     """Unit eigenvector of the smallest eigenvalue for batched symmetric
     (..., 3, 3) matrices — the plane normal of a voxel Gaussian.

@@ -400,6 +400,14 @@ class SlamPipeline:
                         src, roi, usable, T_prior,
                         iterations=rc.max_iterations, damping=rc.damping,
                         max_dist=rc.max_correspondence_dist)
+                elif rc.method == "ndt":
+                    from veloslam_tpu.registration import ndt
+                    target = ndt.build_ndt_grid(
+                        roi, min_points=rc.min_points_per_voxel)
+                    res = ndt.register(
+                        jnp.asarray(pts), jnp.asarray(mask), target,
+                        T_prior, iterations=rc.max_iterations,
+                        max_dist=rc.max_correspondence_dist)
                 else:
                     target = gicp.plane_grid_from(
                         roi, min_points=rc.min_points_per_voxel,
