@@ -163,3 +163,73 @@ def test_landmark_extraction(world):
     matched = np.unique(np.argmin(
         np.linalg.norm(posts[:, None, :2] - true_xy[None], axis=2), axis=1))
     assert len(matched) >= 2
+
+
+def test_deintegrate_inverts_integrate():
+    """Downdating removes a scan's exact contribution: voxels return to
+    their prior statistics, and voxels the scan created are pruned."""
+    import numpy as np
+
+    from veloslam_tpu.map.voxelmap import VoxelMap
+
+    rng = np.random.default_rng(2)
+    a = rng.uniform(-20, 20, (4000, 3)).astype(np.float32)
+    b = rng.uniform(-20, 20, (4000, 3)).astype(np.float32)
+    b[:500] += 60.0            # scan b opens voxels scan a never touched
+    m = np.ones(4000, bool)
+
+    vm = VoxelMap()
+    vm.integrate_points(a, m, center=np.zeros(3))
+    before = {tuple(idx): (p.coords.copy(), p.count.copy(), p.s1.copy())
+              for idx, p in vm._patches.items()}
+    n_vox_before = sum(p.n_voxels for p in vm._patches.values())
+
+    vm.integrate_points(b, m, center=np.zeros(3))
+    assert sum(p.n_voxels for p in vm._patches.values()) > n_vox_before
+
+    vm.deintegrate_points(b, m, center=np.zeros(3))
+    after_vox = sum(p.n_voxels for p in vm._patches.values()
+                    if p.n_voxels)
+    assert after_vox == n_vox_before
+    for idx, (coords, count, s1) in before.items():
+        p = vm._patches[idx]
+        np.testing.assert_array_equal(p.coords, coords)
+        np.testing.assert_allclose(p.count, count, rtol=1e-9)
+        np.testing.assert_allclose(p.s1, s1, atol=1e-6)
+
+
+def test_update_map_incremental_moves_keyframe():
+    """After a simulated graph correction, only moved keyframes are
+    re-integrated and the map reflects their new poses."""
+    import numpy as np
+
+    from veloslam_tpu.core import se3
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    pipe = SlamPipeline()
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+    mask = np.ones(2000, bool)
+    # two keyframes integrated at their original estimates
+    for k, tx in enumerate((0.0, 20.0)):
+        pose_t = np.array([tx, 0.0, 0.0], np.float32)
+        pipe.map.integrate_points(pts + pose_t, mask, center=pose_t)
+        pipe.graph.add_pose(np.array([1.0, 0, 0, 0]), pose_t)
+        pipe.keyframe_scans.append((pts.copy(), mask.copy()))
+        pipe.keyframe_times.append(k)
+        pipe._kf_map_pose.append((np.array([1.0, 0, 0, 0], np.float32),
+                                  pose_t))
+    # graph correction moves keyframe 1 by +2 m in y
+    q, t = pipe.graph.poses()
+    t2 = t.copy()
+    t2[1, 1] += 2.0
+    pipe.graph.update_from(q, t2)
+    moved = pipe.update_map_incremental()
+    assert moved == 1
+    occ, _ = pipe.map.bev_layers(min_count=1.0)
+    # keyframe 1's cloud now occupies y in [−3, 7] around x=20
+    sel = np.abs(occ[:, 0] - 20.0) < 4.0
+    assert occ[sel, 1].max() > 5.5
+    # keyframe 0's region is untouched
+    sel0 = np.abs(occ[:, 0]) < 4.0
+    assert occ[sel0, 1].max() < 5.5

@@ -52,8 +52,10 @@ class MapPatchData:
         return len(self.count)
 
     def merge(self, coords: np.ndarray, count: np.ndarray, s1: np.ndarray,
-              s2: np.ndarray) -> None:
-        """Accumulate new voxel stats (absolute coords) into this patch."""
+              s2: np.ndarray, prune: bool = False) -> None:
+        """Accumulate new voxel stats (absolute coords) into this patch.
+        Negative counts subtract (downdating); with `prune`, voxels whose
+        count falls below 0.5 are dropped (fp cancellation residue)."""
         all_c = np.concatenate([self.coords, coords])
         all_n = np.concatenate([self.count, count])
         all_1 = np.concatenate([self.s1, s1])
@@ -66,6 +68,12 @@ class MapPatchData:
         np.add.at(self.count, inv, all_n)
         np.add.at(self.s1, inv, all_1)
         np.add.at(self.s2, inv, all_2)
+        if prune:
+            keep = self.count >= 0.5
+            self.coords = self.coords[keep]
+            self.count = self.count[keep]
+            self.s1 = self.s1[keep]
+            self.s2 = self.s2[keep]
 
     def save(self, path: str) -> None:
         np.savez_compressed(path, coords=self.coords, count=self.count,
@@ -145,8 +153,10 @@ class VoxelMap:
 
     # --- scan integration --------------------------------------------------
 
-    def integrate_grid(self, grid: vx.VoxelGrid) -> None:
-        """Merge a device-built scan VoxelGrid into the map tiles."""
+    def integrate_grid(self, grid: vx.VoxelGrid, sign: float = 1.0) -> None:
+        """Merge a device-built scan VoxelGrid into the map tiles.
+        With sign=-1 (count already negated by the caller) the merge
+        subtracts statistics and prunes emptied voxels."""
         occ = np.asarray(grid.occupied)
         if not occ.any():
             return
@@ -177,21 +187,34 @@ class VoxelMap:
         for i, (tx, ty) in enumerate(uniq):
             sel = inv == i
             patch = self._materialize((int(tx), int(ty)), create=True)
-            patch.merge(coords[sel], count[sel], s1[sel], s2[sel])
+            patch.merge(coords[sel], count[sel], s1[sel], s2[sel],
+                        prune=(sign < 0))
 
     def integrate_points(self, pts_world: np.ndarray, mask: np.ndarray,
-                         center: np.ndarray) -> None:
+                         center: np.ndarray, sign: float = 1.0) -> None:
         """Convenience: device-build a grid around `center`, then integrate.
 
         The grid origin is snapped to the voxel lattice so packed keys map
-        exactly onto absolute voxel coordinates."""
+        exactly onto absolute voxel coordinates.  `sign=-1` SUBTRACTS the
+        scan's sufficient statistics (downdating)."""
         vs = self.cfg.voxel_size
         origin = np.floor(np.asarray(center, np.float64) / vs) * vs
         grid = vx.build_grid(jnp.asarray(pts_world, jnp.float32),
                              jnp.asarray(mask),
                              jnp.asarray(origin, jnp.float32),
                              vs, capacity=self.cfg.voxels_per_patch)
-        self.integrate_grid(grid)
+        if sign != 1.0:
+            grid = grid._replace(count=grid.count * sign)
+        self.integrate_grid(grid, sign=sign)
+
+    def deintegrate_points(self, pts_world: np.ndarray, mask: np.ndarray,
+                           center: np.ndarray) -> None:
+        """Remove a previously-integrated scan's contribution (incremental
+        voxel downdating): subtract its count/moment statistics and prune
+        voxels whose count falls to ~zero.  Exact inverse of
+        integrate_points for the same points — enables in-place map
+        correction after loop closure instead of a full rebuild."""
+        self.integrate_points(pts_world, mask, center, sign=-1.0)
 
     def bev_layers(self, *, max_cells: int = 20000, min_count: float = 4.0
                    ) -> Tuple[np.ndarray, np.ndarray]:

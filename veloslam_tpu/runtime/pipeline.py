@@ -79,6 +79,7 @@ class SlamPipeline:
         self.graph = PoseGraph(max_poses=self.cfg.graph.max_keyframes)
         self.keyframe_scans: List[Tuple[np.ndarray, np.ndarray]] = []
         self.keyframe_times: List[int] = []
+        self._kf_map_pose: List[Tuple[np.ndarray, np.ndarray]] = []
         self.trajectory: List[FrameResult] = []
         self.timers = StageTimers()
         self.closures: List[Tuple[int, int]] = []
@@ -459,6 +460,10 @@ class SlamPipeline:
         k = self.graph.add_pose(np.asarray(T_est.q), np.asarray(T_est.t))
         self.keyframe_scans.append((pts.copy(), mask.copy()))
         self.keyframe_times.append(start_us)
+        # Pose this keyframe's scan was integrated into the map with
+        # (_handle_frame integrated it just before) — the downdating
+        # anchor for incremental map correction after graph solves.
+        self._kf_map_pose.append((np.asarray(T_est.q), np.asarray(T_est.t)))
         if k > 0:
             prev = _np_pose(self.graph.q[k - 1], self.graph.t[k - 1])
             rel = se3.relative(prev, T_est)
@@ -500,6 +505,36 @@ class SlamPipeline:
                                         iterations=self.cfg.graph.gn_iterations)
             self.graph.update_from(np.asarray(out.q)[:self.graph.n_poses],
                                    np.asarray(out.t)[:self.graph.n_poses])
+            with self.timers.stage("map_downdate"):
+                self.update_map_incremental()
+
+    def update_map_incremental(self, move_threshold_m: float = 0.05
+                               ) -> int:
+        """Incremental voxel downdating: for each keyframe whose optimized
+        pose moved more than `move_threshold_m` since its scan was
+        integrated, SUBTRACT the scan's voxel statistics at the old pose
+        and re-add them at the new pose.  Touches only moved keyframes —
+        a mid-session correction far cheaper than `rebuild_map` (which
+        stays the exact end-of-session path; non-keyframe frames'
+        contributions are not tracked and remain as integrated).  Returns
+        the number of keyframes re-integrated."""
+        q, t = self.graph.poses()
+        moved = 0
+        for k, (pts, mask) in enumerate(self.keyframe_scans):
+            old_q, old_t = self._kf_map_pose[k]
+            if np.linalg.norm(t[k] - old_t) < move_threshold_m and \
+                    abs(float(np.dot(q[k], old_q))) > 0.999995:
+                continue
+            old_pose = _np_pose(old_q, old_t)
+            new_pose = _np_pose(q[k], t[k])
+            jpts = jnp.asarray(pts)
+            self.map.deintegrate_points(
+                np.asarray(se3.apply(old_pose, jpts)), mask, center=old_t)
+            self.map.integrate_points(
+                np.asarray(se3.apply(new_pose, jpts)), mask, center=t[k])
+            self._kf_map_pose[k] = (q[k].copy(), t[k].copy())
+            moved += 1
+        return moved
 
     def rebuild_map(self) -> None:
         """Re-integrate all keyframe scans with their optimized graph poses
@@ -512,6 +547,8 @@ class SlamPipeline:
             pose = _np_pose(q[k], t[k])
             pts_w = np.asarray(se3.apply(pose, jnp.asarray(pts)))
             fresh.integrate_points(pts_w, mask, center=t[k])
+            if k < len(self._kf_map_pose):
+                self._kf_map_pose[k] = (q[k].copy(), t[k].copy())
         self.map = fresh
 
     def finalize(self) -> Dict:
