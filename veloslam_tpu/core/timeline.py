@@ -181,6 +181,50 @@ def interpolate_poses(track_rel_s: jax.Array, track_q: jax.Array,
     return se3.Pose(q, t)
 
 
+def interpolate_poses_np(track_rel_s: np.ndarray, track_q: np.ndarray,
+                         track_t: np.ndarray, track_v: np.ndarray,
+                         query_rel_s: np.ndarray
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy `interpolate_poses` for HOST-side single/low-volume
+    queries (e.g. one pose per frame in the pipeline's orchestration
+    loop).  Device-free: eager jnp here costs ~150 ms per call in op
+    dispatch and poisons axon dispatch latency via the readback of the
+    result.  Returns (q (N,4), t (N,3)) float32."""
+    tr = np.asarray(track_rel_s, np.float64)
+    tq = np.asarray(track_q, np.float64)
+    tt = np.asarray(track_t, np.float64)
+    tv = np.asarray(track_v, np.float64)
+    qr = np.atleast_1d(np.asarray(query_rel_s, np.float64))
+    m = len(tr)
+    hi = np.clip(np.searchsorted(tr, qr, side="right"), 0, m - 1)
+    lo = np.clip(hi - 1, 0, m - 1)
+    denom = np.where(hi == lo, 1.0, tr[hi] - tr[lo])
+    u = np.clip((qr - tr[lo]) / denom, 0.0, 1.0)[:, None]
+    q0, q1 = tq[lo], tq[hi]
+    # slerp (sign-aligned), nlerp fallback near parallel
+    dot = np.sum(q0 * q1, -1, keepdims=True)
+    q1 = np.where(dot < 0, -q1, q1)
+    dot = np.abs(dot)
+    theta = np.arccos(np.clip(dot, -1.0, 1.0))
+    sin_t = np.sin(theta)
+    near = sin_t < 1e-6
+    w0 = np.where(near, 1.0 - u, np.sin((1.0 - u) * theta)
+                  / np.where(near, 1.0, sin_t))
+    w1 = np.where(near, u, np.sin(u * theta) / np.where(near, 1.0, sin_t))
+    q = w0 * q0 + w1 * q1
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    t = tt[lo] + (tt[hi] - tt[lo]) * u
+    before = qr < tr[0]
+    after = qr > tr[-1]
+    t = np.where(before[:, None],
+                 tt[0] + tv[0] * (qr - tr[0])[:, None], t)
+    t = np.where(after[:, None],
+                 tt[-1] + tv[-1] * (qr - tr[-1])[:, None], t)
+    q = np.where(before[:, None], tq[0], q)
+    q = np.where(after[:, None], tq[-1], q)
+    return q.astype(np.float32), t.astype(np.float32)
+
+
 class PoseTrack:
     """Host pose timeline with device-friendly window extraction.
 
