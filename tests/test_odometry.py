@@ -62,3 +62,28 @@ def test_streaming_odometry_corrects_drifting_ins():
     ins_err = np.sqrt(np.mean((drift_rate * t_rel) ** 2))
     assert m["rmse"] < ins_err * 0.7, (m, ins_err)
     assert m["rmse"] < 0.25, m
+
+
+def test_batched_odometry_matches_sequential(drive):
+    """The batched step (all frame slots registered in one vmapped GICP
+    dispatch against the batch-start map) must track ground truth and agree
+    with the sequential fused step to centimeters."""
+    calib = DeviceCalib.from_host(calibration.hdl32())
+    seq_odo = StreamingOdometry(calib, reg_iterations=8)
+    bat_odo = StreamingOdometry(calib, reg_iterations=8, batched=True)
+    track = _track(drive)
+    res_seq = seq_odo.run(drive["packets"], drive["pkt_times_us"], track,
+                          batch=256)
+    res_bat = bat_odo.run(drive["packets"], drive["pkt_times_us"], track,
+                          batch=256)
+    assert res_bat["n_frames"] == res_seq["n_frames"]
+    np.testing.assert_allclose(res_bat["times_us"], res_seq["times_us"])
+    # Registration on noisy sim scans has nearby per-frame minima; the two
+    # paths may pick slightly different ones.  Require close agreement AND
+    # the same accuracy-vs-truth bound as the sequential test.
+    d = np.linalg.norm(res_bat["positions"] - res_seq["positions"], axis=1)
+    assert d.max() < 0.35, d.max()
+    ref = interpolate_positions(res_bat["times_us"], drive["ins_t_us"],
+                                drive["ins_pos"])
+    m = ate(res_bat["positions"], ref, align=False)
+    assert m["rmse"] < 0.15, m

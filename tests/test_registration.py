@@ -245,3 +245,48 @@ def test_dense_index_lookup_matches_search(world):
                        dense=dense)
     np.testing.assert_allclose(np.asarray(r1.pose.t), np.asarray(r0.pose.t),
                                atol=2e-3)
+
+
+def test_register_batch_matches_sequential(world):
+    """register_batch (vmapped, one dispatch) must produce the same poses
+    as F independent register() calls — both shared-target (batched
+    odometry) and stacked-target (loop-closure verification) modes."""
+    pos_a = np.array([0.0, 0.0, 2.0])
+    tgt = _static_scan(world, pos_a, 0.0)
+    P = 16384
+    tgt_p, tgt_m = _pad(tgt, P)
+    grid = gicp.build_plane_grid(tgt_p, tgt_m, np.zeros(3), 1.0,
+                                 capacity=8192)
+
+    offsets = [np.array([0.1, 0.3, 0.0], np.float32),
+               np.array([-0.2, 0.5, 0.05], np.float32),
+               np.array([0.3, -0.1, -0.02], np.float32)]
+    yaws = [np.deg2rad(1.5), np.deg2rad(-2.0), np.deg2rad(0.7)]
+    srcs = [_pad(_static_scan(world, pos_a + o, y), P)
+            for o, y in zip(offsets, yaws)]
+    pts = jnp.stack([s[0] for s in srcs])
+    msk = jnp.stack([s[1] for s in srcs])
+    init = se3.Pose(jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                             (3, 1)),
+                    jnp.zeros((3, 3), jnp.float32))
+
+    batched = gicp.register_batch(pts, msk, grid, init, iterations=16)
+    for k, (o, y) in enumerate(zip(offsets, yaws)):
+        solo = gicp.register(pts[k], msk[k], grid, se3.Pose.identity(),
+                             iterations=16)
+        np.testing.assert_allclose(np.asarray(batched.pose.t[k]),
+                                   np.asarray(solo.pose.t), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batched.pose.q[k]),
+                                   np.asarray(solo.pose.q), atol=1e-5)
+        # and each recovers its own ground truth
+        np.testing.assert_allclose(np.asarray(batched.pose.t[k]),
+                                   o, atol=0.06)
+        got_rv = np.asarray(se3.quat_log(batched.pose.q[k]))
+        np.testing.assert_allclose(got_rv, [0, 0, y], atol=0.012)
+
+    # stacked-target mode: per-scan target grids (candidate pairs)
+    grids = gicp.stack_plane_grids([grid, grid, grid])
+    stacked = gicp.register_batch(pts, msk, grids, init, iterations=16,
+                                  share_target=False)
+    np.testing.assert_allclose(np.asarray(stacked.pose.t),
+                               np.asarray(batched.pose.t), atol=1e-5)

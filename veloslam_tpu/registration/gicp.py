@@ -173,3 +173,42 @@ def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
          jnp.asarray(0, jnp.int32)))
     return GicpResult(pose=pose, n_matched=n_hit, mean_error=err,
                       iterations=jnp.asarray(iterations, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "use_pallas",
+                                              "share_target"))
+def register_batch(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
+                   init_poses: se3.Pose, *, iterations: int = 16,
+                   damping: float = 1e-6, huber_delta: float = 0.5,
+                   max_dist: float = 2.0, use_pallas: bool = False,
+                   share_target: bool = True) -> GicpResult:
+    """Register F independent scans in ONE dispatched program (vmap).
+
+    Two production uses:
+      * batched odometry — every frame assembled from a packet batch is
+        registered against the batch-start map ROI with its own INS prior
+        (`share_target=True`); amortizes the per-dispatch floor that
+        dominates single-frame registration on small scans;
+      * batched loop-closure verification — each candidate pair brings its
+        own target grid (`share_target=False`, leaves of `target` stacked
+        on a leading F axis, see `stack_plane_grids`).
+
+    Args:
+      pts:  (F, P, 3) source scans.
+      mask: (F, P) validity.
+      target: one shared PlaneGrid, or a stacked (F, ...) PlaneGrid.
+      init_poses: Pose with (F, 4) / (F, 3) leaves.
+    Returns a GicpResult with a leading F axis on every field.
+    """
+    fn = functools.partial(register, iterations=iterations, damping=damping,
+                           huber_delta=huber_delta, max_dist=max_dist,
+                           use_pallas=use_pallas)
+    t_axes = None if share_target else 0
+    return jax.vmap(fn, in_axes=(0, 0, t_axes, 0))(
+        pts, mask, target, init_poses)
+
+
+def stack_plane_grids(grids) -> PlaneGrid:
+    """Stack a list of same-capacity PlaneGrids on a new leading axis for
+    `register_batch(share_target=False)` (loop-closure candidate pairs)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *grids)

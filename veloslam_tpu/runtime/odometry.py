@@ -233,6 +233,101 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
     return state, open_start
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
+    "min_points", "min_planarity"))
+def odometry_step_batched(state: OdometryState, pkts: jax.Array,
+                          calib: DeviceCalib, pkt_rel_s: jax.Array,
+                          carry_start_rel_s: jax.Array,
+                          batch_start_rel_stream_s: jax.Array,
+                          track_rel_s: jax.Array, track_q: jax.Array,
+                          track_t: jax.Array, track_v: jax.Array, *,
+                          model: str, n_beams: int, reg_points: int = 16384,
+                          reg_iterations: int = 8,
+                          max_frames_batch: int = 4, min_points: int = 4,
+                          min_planarity: float = 0.35
+                          ) -> Tuple[OdometryState, jax.Array]:
+    """Throughput variant of `odometry_step`: ALL frame slots register in
+    one vmapped GICP program against the batch-start map, then merge.
+
+    Semantics vs the fused sequential step: each frame's prior is
+    C ∘ T_ins(start) with the batch-start correction C (not the running
+    per-frame correction), and the registration target excludes frames
+    completed earlier in the same batch.  At HDL frame rate (≤0.4 s per
+    4-frame batch) the local map barely changes within a batch, so the
+    trajectories agree to centimeters (tests/test_odometry.py); in
+    exchange the per-frame dispatch floor — which dominates single-frame
+    registration on the axon backend — is paid once per batch.
+    """
+    dec = decode_packets(pkts, calib, model=model)
+    xyz_w, _ = compensate(dec, pkt_rel_s, track_rel_s, track_q, track_t,
+                          track_v)
+    fb, n_done, starts, carry, open_start = assemble_frames(
+        dec, xyz_w, pkt_rel_s, state.carry, carry_start_rel_s,
+        model=model, n_beams=n_beams, max_frames=max_frames_batch)
+    state = state._replace(carry=carry)
+    F = max_frames_batch
+    slot_done = jnp.arange(F) < n_done                     # (F,)
+
+    # Per-frame INS poses at frame starts (one batched interpolation).
+    ins = interpolate_poses(track_rel_s, track_q, track_t, track_v, starts)
+
+    # Subsample every slot (vmapped), move to its local (frame-start) frame.
+    sub = jax.vmap(functools.partial(_subsample, n_out=reg_points))
+    pts, msk = sub(fb.xyz, fb.mask)                        # (F,P,3), (F,P)
+    msk &= slot_done[:, None]
+    pts_local = jax.vmap(
+        lambda q, t, p: se3.apply(se3.inverse(se3.Pose(q, t)), p))(
+            ins.q, ins.t, pts)
+
+    corr = se3.Pose(state.corr_q, state.corr_t)
+    priors = jax.vmap(
+        lambda q, t: se3.compose(corr, se3.Pose(q, t)))(ins.q, ins.t)
+
+    target = gicp.plane_grid_from(state.map_grid, min_points=min_points,
+                                  min_planarity=min_planarity)
+    res = gicp.register_batch(pts_local, msk, target, priors,
+                              iterations=reg_iterations)
+    healthy = ((res.n_matched > 500)
+               & jax.vmap(lambda t: jnp.all(jnp.isfinite(t)))(res.pose.t)
+               & state.have_map)                           # (F,)
+    est_q = jnp.where(healthy[:, None], res.pose.q, priors.q)
+    est_t = jnp.where(healthy[:, None], res.pose.t, priors.t)
+
+    # Trajectory scatter: done slots land at n_frames + k, others drop.
+    n = state.n_frames
+    idx = jnp.where(slot_done, n + jnp.arange(F), state.traj_q.shape[0])
+    traj_q = state.traj_q.at[idx].set(est_q, mode="drop")
+    traj_t = state.traj_t.at[idx].set(est_t, mode="drop")
+    traj_time = state.traj_time.at[idx].set(
+        batch_start_rel_stream_s + starts, mode="drop")
+
+    # Correction from the LAST completed (healthy) frame of the batch.
+    corr_all = jax.vmap(lambda q, t, iq, it: se3.compose(
+        se3.Pose(q, t), se3.inverse(se3.Pose(iq, it))))(
+            est_q, est_t, ins.q, ins.t)
+    last = jnp.maximum(n_done - 1, 0)
+    upd = n_done > 0
+    corr_q = jnp.where(upd, corr_all.q[last], state.corr_q)
+    corr_t = jnp.where(upd, corr_all.t[last], state.corr_t)
+
+    # Merge all completed frames into the rolling map in one grid build.
+    pts_world = jax.vmap(lambda q, t, p: se3.apply(se3.Pose(q, t), p))(
+        est_q, est_t, pts_local)
+    scan_grid = vx.build_grid(pts_world.reshape(-1, 3), msk.reshape(-1),
+                              state.map_grid.origin,
+                              state.map_grid.voxel_size, capacity=16384)
+    decay = jnp.power(jnp.asarray(0.98, jnp.float32),
+                      n_done.astype(jnp.float32))
+    decayed = state.map_grid._replace(count=state.map_grid.count * decay)
+    merged = vx.merge_stats(decayed, scan_grid,
+                            capacity=state.map_grid.capacity)
+    return state._replace(
+        map_grid=merged, corr_q=corr_q, corr_t=corr_t, traj_q=traj_q,
+        traj_t=traj_t, traj_time=traj_time, n_frames=n + n_done,
+        have_map=state.have_map | upd), open_start
+
+
 class StreamingOdometry:
     """Host driver: feeds batches, keeps int64 time anchors, reads the
     trajectory once at the end (axon-safe: no mid-stream readbacks)."""
@@ -243,13 +338,14 @@ class StreamingOdometry:
                  n_beams: int = 32, voxel_size: float = 1.0,
                  reg_points: int = 16384, reg_iterations: int = 8,
                  map_capacity: int = 32768, max_frames: int = 4096,
-                 fused: bool = True):
+                 fused: bool = True, batched: bool = False):
         self.calib = calib
         self.model = model
         self.n_beams = n_beams
         self.reg_points = reg_points
         self.reg_iterations = reg_iterations
         self.fused = fused
+        self.batched = batched
         self.state = init_state(n_beams, map_capacity=map_capacity,
                                 max_frames=max_frames,
                                 voxel_size=voxel_size)
@@ -335,7 +431,15 @@ class StreamingOdometry:
                jnp.asarray(track_window["q"]),
                jnp.asarray(track_window["t"]),
                jnp.asarray(track_window["v"]))
-        if self.fused:
+        if self.batched:
+            self.state, open_start = odometry_step_batched(
+                self.state, jnp.asarray(pkts), self.calib, rel, carry_start,
+                batch_rel, *trk,
+                model=self.model, n_beams=self.n_beams,
+                reg_points=self.reg_points,
+                reg_iterations=self.reg_iterations,
+                max_frames_batch=self.MAX_FRAMES_BATCH)
+        elif self.fused:
             self.state, open_start = odometry_step(
                 self.state, jnp.asarray(pkts), self.calib, rel, carry_start,
                 batch_rel, *trk,
