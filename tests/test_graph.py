@@ -209,3 +209,62 @@ def test_landmark_association_end_to_end():
     after = np.linalg.norm(g.t[:4] - np.asarray(
         [p for p, _ in true_poses]), axis=1)
     assert after.mean() < before.mean() * 0.7, (before, after)
+
+
+def test_verify_closures_batch_matches_single():
+    """Batched candidate verification (one vmapped grid build + one
+    stacked-target register_batch) must agree with per-pair
+    verify_closure on both accepts and rejects."""
+    import jax.numpy as jnp
+
+    from veloslam_tpu.io import simulate as sim
+    from veloslam_tpu.graph import loopclosure
+
+    world = sim.World.demo(seed=5, n_posts=30, n_walls=10)
+
+    def scan(pos, yaw, n_az=720, n_vert=32):
+        az = np.linspace(0, 2 * np.pi, n_az, endpoint=False)
+        vert = np.deg2rad(np.linspace(-30.67, 10.67, n_vert))
+        azg, vg = np.meshgrid(az, vert, indexing="ij")
+        dirs_s = np.stack([np.cos(vg) * np.sin(azg),
+                           np.cos(vg) * np.cos(azg),
+                           np.sin(vg)], -1).reshape(-1, 3)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        dist, _ = sim.raycast(world, np.broadcast_to(pos, dirs_s.shape),
+                              dirs_s @ R.T, max_range=120.0)
+        pts = (dirs_s * dist[:, None])[dist > 0].astype(np.float32)
+        P = 16384
+        out = np.zeros((P, 3), np.float32)
+        m = np.zeros(P, bool)
+        m[:len(pts)] = True
+        out[:len(pts)] = pts[:P]
+        return out, m
+
+    base = np.array([0.0, 0.0, 2.0])
+    pi0, mi0 = scan(base, 0.0)
+    # candidate 0: genuine revisit (small offset) — should accept
+    pj0, mj0 = scan(base + [0.2, 0.3, 0.0], np.deg2rad(1.0))
+    # candidate 1: far-away scan with an identity prior — should reject
+    pj1, mj1 = scan(base + [60.0, 55.0, 0.0], np.deg2rad(120.0))
+
+    pi = jnp.asarray(np.stack([pi0, pi0]))
+    mi = jnp.asarray(np.stack([mi0, mi0]))
+    pj = jnp.asarray(np.stack([pj0, pj1]))
+    mj = jnp.asarray(np.stack([mj0, mj1]))
+    priors = se3.Pose(jnp.asarray(np.tile([1.0, 0, 0, 0], (2, 1))
+                                  .astype(np.float32)),
+                      jnp.zeros((2, 3), jnp.float32))
+    got = loopclosure.verify_closures_batch(pi, mi, pj, mj, priors)
+    solo0 = loopclosure.verify_closure(
+        jnp.asarray(pi0), jnp.asarray(mi0), jnp.asarray(pj0),
+        jnp.asarray(mj0), se3.Pose.identity())
+    solo1 = loopclosure.verify_closure(
+        jnp.asarray(pi0), jnp.asarray(mi0), jnp.asarray(pj1),
+        jnp.asarray(mj1), se3.Pose.identity())
+    assert solo0 is not None and got[0] is not None
+    assert solo1 is None and got[1] is None
+    np.testing.assert_allclose(np.asarray(got[0].t), np.asarray(solo0.t),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got[0].t), [0.2, 0.3, 0.0],
+                               atol=0.08)

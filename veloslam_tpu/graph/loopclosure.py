@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,3 +63,38 @@ def verify_closure(pts_i, mask_i, pts_j, mask_j, rel_prior: se3.Pose,
     if float(res.mean_error) > max_mean_error:
         return None
     return res.pose
+
+
+def verify_closures_batch(pts_i, mask_i, pts_j, mask_j,
+                          rel_priors: se3.Pose, *,
+                          voxel_size: float = 1.0, capacity: int = 16384,
+                          iterations: int = 20,
+                          max_mean_error: float = 0.05,
+                          min_matches: int = 2000
+                          ) -> List[Optional[se3.Pose]]:
+    """Verify C candidate pairs in TWO dispatched programs (vmapped grid
+    build + stacked-target register_batch) instead of 2·C — candidate
+    sweeps after a detection burst cost one dispatch floor, not C.
+
+    Args are stacked on a leading C axis: pts_i/pts_j (C, P, 3),
+    mask_i/mask_j (C, P), rel_priors a Pose with (C, 4)/(C, 3) leaves.
+    Returns, per candidate, the measured relative pose or None (same
+    accept gates as `verify_closure`).
+    """
+    grids = jax.vmap(
+        lambda p, m: gicp.build_plane_grid(p, m, jnp.zeros(3), voxel_size,
+                                           capacity=capacity))(pts_i, mask_i)
+    res = gicp.register_batch(pts_j, mask_j, grids, rel_priors,
+                              iterations=iterations, share_target=False)
+    n_matched = np.asarray(res.n_matched)
+    mean_error = np.asarray(res.mean_error)
+    q = np.asarray(res.pose.q)
+    t = np.asarray(res.pose.t)
+    out: List[Optional[se3.Pose]] = []
+    for k in range(len(n_matched)):
+        if n_matched[k] < min_matches or mean_error[k] > max_mean_error \
+                or not np.all(np.isfinite(t[k])):
+            out.append(None)
+        else:
+            out.append(se3.Pose(jnp.asarray(q[k]), jnp.asarray(t[k])))
+    return out

@@ -35,6 +35,12 @@ class GicpResult(NamedTuple):
     n_matched: jax.Array    # () int32 — correspondences in the last iter
     mean_error: jax.Array   # () float32 — mean |point-to-plane| residual
     iterations: jax.Array   # () int32
+    # (6, 6) Gauss-Newton normal matrix of the LAST iteration, or None for
+    # paths that do not expose it.  Its eigen-spectrum is the constraint
+    # observability of the fit: near-zero eigenvalues mean the scene does
+    # not constrain that motion direction (e.g. ground-plane-only matches
+    # slide freely in x/y/yaw) — used to reject degenerate loop closures.
+    H: jax.Array = None
 
 
 class PlaneGrid(NamedTuple):
@@ -146,7 +152,7 @@ def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
     (build once per target with voxel.build_dense_index)."""
 
     def body(_, state):
-        pose, _, _ = state
+        pose, _, _, _ = state
         H, b, err, n_hit = normal_equations(
             pts, mask, pose, target, huber_delta=huber_delta,
             max_dist=max_dist, use_pallas=use_pallas, dense=dense)
@@ -165,14 +171,14 @@ def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
             1.0 / jnp.maximum(tn, 1e-12),
             0.3 / jnp.maximum(rn, 1e-12)))
         delta = delta * jnp.minimum(scale, 1.0)
-        return se3.retract(pose, delta), err, n_hit
+        return se3.retract(pose, delta), err, n_hit, H
 
-    pose, err, n_hit = jax.lax.fori_loop(
+    pose, err, n_hit, H = jax.lax.fori_loop(
         0, iterations, body,
         (init_pose, jnp.asarray(jnp.inf, jnp.float32),
-         jnp.asarray(0, jnp.int32)))
+         jnp.asarray(0, jnp.int32), jnp.zeros((6, 6), jnp.float32)))
     return GicpResult(pose=pose, n_matched=n_hit, mean_error=err,
-                      iterations=jnp.asarray(iterations, jnp.int32))
+                      iterations=jnp.asarray(iterations, jnp.int32), H=H)
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "use_pallas",

@@ -480,24 +480,36 @@ class SlamPipeline:
         cands = loopclosure.find_candidates(
             t, radius=gc.loop_closure_radius_m,
             min_gap=gc.loop_closure_min_gap)
-        new = [c for c in cands if c not in self.closures]
+        new = [c for c in cands if c not in self.closures][:8]
         accepted = 0
-        for i, j in new[:3]:
-            pi, mi = self.keyframe_scans[i]
-            pj, mj = self.keyframe_scans[j]
-            prior = se3.relative(_np_pose(q[i], t[i]), _np_pose(q[j], t[j]))
+        if new:
+            # All candidates of the sweep verify in one batched program
+            # (vmapped grid build + stacked-target register_batch).
+            pi = jnp.asarray(np.stack([self.keyframe_scans[i][0]
+                                       for i, _ in new]))
+            mi = jnp.asarray(np.stack([self.keyframe_scans[i][1]
+                                       for i, _ in new]))
+            pj = jnp.asarray(np.stack([self.keyframe_scans[j][0]
+                                       for _, j in new]))
+            mj = jnp.asarray(np.stack([self.keyframe_scans[j][1]
+                                       for _, j in new]))
+            priors = [se3.relative(_np_pose(q[i], t[i]),
+                                   _np_pose(q[j], t[j])) for i, j in new]
+            rel_priors = se3.Pose(
+                jnp.stack([p.q for p in priors]),
+                jnp.stack([p.t for p in priors]))
             with self.timers.stage("loop_verify"):
-                meas = loopclosure.verify_closure(
-                    jnp.asarray(pi), jnp.asarray(mi), jnp.asarray(pj),
-                    jnp.asarray(mj), prior,
+                measures = loopclosure.verify_closures_batch(
+                    pi, mi, pj, mj, rel_priors,
                     voxel_size=rc.voxel_size,
                     capacity=rc.scan_voxel_capacity)
-            if meas is None:
-                continue
-            self.graph.add_edge(i, j, np.asarray(meas.q),
-                                np.asarray(meas.t), info=(500.0,) * 6)
-            self.closures.append((i, j))
-            accepted += 1
+            for (i, j), meas in zip(new, measures):
+                if meas is None:
+                    continue
+                self.graph.add_edge(i, j, np.asarray(meas.q),
+                                    np.asarray(meas.t), info=(500.0,) * 6)
+                self.closures.append((i, j))
+                accepted += 1
         if accepted:
             with self.timers.stage("graph_solve"):
                 out, _ = optimize.solve(self.graph.arrays(),
