@@ -268,3 +268,64 @@ def test_verify_closures_batch_matches_single():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(got[0].t), [0.2, 0.3, 0.0],
                                atol=0.08)
+
+
+def test_verify_closure_aliasing_gates():
+    """The self-normalized observability gate + reciprocal tie-break must
+    reject perceptually aliased matches (tight fits onto ground/facade
+    subsets) across scenes where absolute spectral thresholds fail, while
+    keeping genuine revisits — including partial-overlap ones that land in
+    the observability gray zone."""
+    import jax.numpy as jnp
+
+    from veloslam_tpu.io import simulate as sim
+    from veloslam_tpu.graph import loopclosure
+
+    def scan(world, pos, yaw, n_az=720, n_vert=32):
+        az = np.linspace(0, 2 * np.pi, n_az, endpoint=False)
+        vert = np.deg2rad(np.linspace(-30.67, 10.67, n_vert))
+        azg, vg = np.meshgrid(az, vert, indexing="ij")
+        d = np.stack([np.cos(vg) * np.sin(azg),
+                      np.cos(vg) * np.cos(azg),
+                      np.sin(vg)], -1).reshape(-1, 3)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        dist, _ = sim.raycast(world, np.broadcast_to(pos, d.shape),
+                              d @ R.T, max_range=120.0)
+        pts = (d * dist[:, None])[dist > 0].astype(np.float32)
+        P = 16384
+        out = np.zeros((P, 3), np.float32)
+        m = np.zeros(P, bool)
+        m[:len(pts)] = True
+        out[:len(pts)] = pts[:P]
+        return out, m
+
+    base = np.array([0.0, 0.0, 2.0])
+    # (seed, n_posts, n_walls) — seed 3 is sparse (genuinely weakly
+    # constrained scene: absolute λ-ratio gates cannot work); seed 7 is a
+    # dense scene whose 2 m-offset revisit lands in the gray zone.
+    for seed, n_posts, n_walls in [(3, 25, 8), (7, 15, 6)]:
+        world = sim.World.demo(seed=seed, n_posts=n_posts, n_walls=n_walls)
+        pi, mi = scan(world, base, 0.0)
+        pj_good, mj_good = scan(world, base + [1.5, 1.0, 0.0],
+                                np.deg2rad(-5.0))
+        pj_bad, mj_bad = scan(world, base + [70.0, 40.0, 0.0],
+                              np.deg2rad(90.0))
+        # In production the prior comes from graph estimates with bounded
+        # drift — give the genuine revisit one (~0.25 m off truth).  From
+        # an identity prior the seed-7 forward fit converges to a wrong
+        # local minimum (t ≈ [0.1, 2.2] vs truth [1.5, 1.0]) and the
+        # cycle check correctly rejects it.
+        prior = se3.Pose(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                         jnp.asarray([1.3, 0.85, 0.0], jnp.float32))
+        good = loopclosure.verify_closure(
+            jnp.asarray(pi), jnp.asarray(mi), jnp.asarray(pj_good),
+            jnp.asarray(mj_good), prior)
+        bad = loopclosure.verify_closure(
+            jnp.asarray(pi), jnp.asarray(mi), jnp.asarray(pj_bad),
+            jnp.asarray(mj_bad), se3.Pose.identity())
+        if seed == 7:
+            assert good is not None, "genuine revisit rejected"
+            np.testing.assert_allclose(np.asarray(good.t)[:2], [1.5, 1.0],
+                                       atol=0.25)
+        assert bad is None, f"seed {seed}: aliased far match accepted"
