@@ -48,6 +48,37 @@ def test_framestore_cache_and_spill(tmp_path):
     assert fs.get_recent_frame()["xyz"][0, 0, 0] == 5
 
 
+def test_framestore_wait_for_frame():
+    """Blocking frame query (waitForFrame, HDLManager.cxx:213-225):
+    consumer blocks until a producer thread adds a newer frame."""
+    import threading
+    import time as _time
+
+    fs = FrameStore(capacity=4)
+    frame = {"xyz": np.zeros((2, 4, 3), np.float32),
+             "mask": np.ones((2, 4), bool)}
+    fs.add_frame(1000, dict(frame))
+
+    # already-satisfied wait returns immediately
+    got = fs.wait_for_frame(after_us=-1, timeout_s=0.0)
+    assert got is not None
+
+    # timeout path: no frame newer than 1000 yet
+    assert fs.wait_for_frame(after_us=1000, timeout_s=0.05) is None
+
+    def producer():
+        _time.sleep(0.1)
+        fs.add_frame(2000, dict(frame))
+
+    th = threading.Thread(target=producer)
+    t0 = _time.monotonic()
+    th.start()
+    got = fs.wait_for_frame(after_us=1000, timeout_s=2.0)
+    th.join()
+    assert got is not None
+    assert _time.monotonic() - t0 >= 0.08
+
+
 def test_framestore_meta_resume(tmp_path):
     spill = str(tmp_path / "spill")
     fs = FrameStore(capacity=1, spill_dir=spill)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -45,6 +46,7 @@ class FrameStore:
         self._touch: Dict[int, int] = {}
         self._clock = 0
         self._lock = threading.Lock()
+        self._arrival = threading.Condition()
         self._pending: Dict[int, FrameDict] = {}
         self._wq: Optional[queue.Queue] = None
         self._writer: Optional[threading.Thread] = None
@@ -98,6 +100,8 @@ class FrameStore:
                        else np.asarray(carpose_t)),
             n_points=int(frame["mask"].sum()))
         self._evict_if_needed()
+        with self._arrival:
+            self._arrival.notify_all()
 
     def _evict_if_needed(self) -> None:
         while len(self._frames) > self.capacity:
@@ -164,6 +168,35 @@ class FrameStore:
             return None
         times, _ = self._meta.arrays()
         return self._materialize(int(times[-1]))
+
+    def wait_for_frame(self, after_us: int = -1,
+                       timeout_s: Optional[float] = None
+                       ) -> Optional[FrameDict]:
+        """Block until a frame starting after `after_us` exists, then
+        return it (waitForFrame, HDLManager.cxx:213-225 — condvar on
+        frame arrival).  `after_us=-1` accepts any frame; returns None on
+        timeout."""
+        deadline = (None if timeout_s is None
+                    else time.monotonic() + timeout_s)
+
+        def newest_after():
+            if len(self._meta) == 0:
+                return None
+            times, _ = self._meta.arrays()
+            return int(times[-1]) if int(times[-1]) > after_us else None
+
+        with self._arrival:
+            while True:
+                t = newest_after()
+                if t is not None:
+                    break
+                remaining = (None if deadline is None
+                             else deadline - time.monotonic())
+                if remaining is not None and remaining <= 0:
+                    return None
+                if not self._arrival.wait(timeout=remaining):
+                    return None
+        return self._materialize(t)
 
     def get_range_between(self, t0_us: int, t1_us: int) -> List[FrameDict]:
         """All frames starting in [t0, t1) (getRangeBetween,
