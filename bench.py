@@ -1,11 +1,18 @@
 """Benchmark: HDL-32 full-SLAM throughput (frames/s per chip).
 
-Measures the production fast path (runtime.odometry.odometry_step_batched)
-as ONE jitted device program per 2048-packet batch (≈ 11.3 HDL-32
-revolutions): packet decode → INS motion compensation → frame assembly →
-vmapped scan-to-map point-to-plane GICP (16 frame slots × 32768 points ×
-16 Gauss-Newton iterations against the rolling 32768-voxel local map) →
-batched map merge with decay.  frames/s = frames_per_batch / t_step.
+Measures the production bulk-replay fast path
+(runtime.odometry.odometry_step_batched) as ONE jitted device program per
+16384-packet batch (≈ 90.6 HDL-32 revolutions): packet decode → INS
+motion compensation → frame assembly → vmapped scan-to-map point-to-plane
+GICP (96 frame slots × 32768 points × 16 Gauss-Newton iterations against
+the rolling 32768-voxel local map) → batched map merge with decay.
+frames/s = frames_per_batch / t_step.  Accuracy at this batch size is
+validated on simulated drives vs ground truth: ATE 0.019 m over an
+18.5 s drive at 16384/96 (sequential 512-pkt path: 0.42 m on a 9 s
+drive) — INS priors absorb within-batch motion and the 64-sample INS
+window is evenly subsampled across the batch.
+For live low-latency use the streaming path feeds 512-packet batches;
+this config is the offline/bulk-processing rate.
 
 vs_baseline compares against a single-CPU-core run of the same program
 (BASELINE.md target: >10x single-CPU-core frames/s per chip), measured
@@ -27,11 +34,12 @@ import numpy as np
 #   taskset -c 0 env XLA_FLAGS="--xla_cpu_multi_thread_eigen=false \
 #     intra_op_parallelism_threads=1" JAX_PLATFORMS=cpu \
 #     python bench.py --cpu-reference
-# on this container's host CPU (see BASELINE.md).
-REFERENCE_CPU_FPS = 2.398
+# on this container's host CPU (see BASELINE.md).  Measured for the
+# 16384-packet / 96-slot config (51.3 s/batch single-core).
+REFERENCE_CPU_FPS = 1.766
 
-BATCH_PACKETS = 2048     # ≈ 11.3 HDL-32 revolutions per dispatched program
-MAX_FRAMES_BATCH = 16
+BATCH_PACKETS = 16384    # ≈ 90.6 HDL-32 revolutions per dispatched program
+MAX_FRAMES_BATCH = 96
 HDL32_PACKETS_PER_SECOND = 1e6 / 46.08 / 12      # ≈ 1808.4
 FRAMES_PER_BATCH = BATCH_PACKETS / HDL32_PACKETS_PER_SECOND * 10.0
 REG_POINTS = 32768
@@ -39,7 +47,7 @@ REG_ITERATIONS = 16
 MAP_CAPACITY = 32768
 
 
-def _build_inputs(seed=0):
+def _build_inputs(seed=0, batch_packets=BATCH_PACKETS):
     """Construct all bench inputs WITHOUT any device→host readback.
 
     On the tunneled axon backend the first readback permanently degrades
@@ -56,9 +64,9 @@ def _build_inputs(seed=0):
     seq = sim.generate_sequence(duration_s=0.35, model="hdl32", seed=seed,
                                 world=sim.World.demo(1))
     pkts = np.concatenate([seq["packets"]] *
-                          (BATCH_PACKETS // len(seq["packets"]) + 1)
-                          )[:BATCH_PACKETS]
-    rel_s = (np.arange(BATCH_PACKETS) / HDL32_PACKETS_PER_SECOND
+                          (batch_packets // len(seq["packets"]) + 1)
+                          )[:batch_packets]
+    rel_s = (np.arange(batch_packets) / HDL32_PACKETS_PER_SECOND
              ).astype(np.float32)
 
     m = 64
@@ -82,19 +90,21 @@ def _block(out):
             leaf.block_until_ready()
 
 
-def run_bench(iters=8, warmup=2):
+def run_bench(iters=8, warmup=2, batch_packets=BATCH_PACKETS,
+              max_frames_batch=MAX_FRAMES_BATCH):
     import jax.numpy as jnp
 
     from veloslam_tpu.runtime import odometry as odo
 
+    frames_per_batch = batch_packets / HDL32_PACKETS_PER_SECOND * 10.0
     (pkts, calib, rel_s, track_rel, track_q, track_t,
-     track_v) = _build_inputs()
+     track_v) = _build_inputs(batch_packets=batch_packets)
     state = odo.init_state(32, map_capacity=MAP_CAPACITY)
     zero = jnp.asarray(0.0, jnp.float32)
     step = functools.partial(
         odo.odometry_step_batched, model="hdl32", n_beams=32,
         reg_points=REG_POINTS, reg_iterations=REG_ITERATIONS,
-        max_frames_batch=MAX_FRAMES_BATCH)
+        max_frames_batch=max_frames_batch)
 
     def once():
         # Fixed pre-built state: steady-state per-batch cost, no
@@ -110,7 +120,7 @@ def run_bench(iters=8, warmup=2):
         out = once()
     _block(out)
     t_step = (time.perf_counter() - t0) / iters
-    return FRAMES_PER_BATCH / t_step, t_step
+    return frames_per_batch / t_step, t_step
 
 
 def main():

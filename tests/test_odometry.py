@@ -87,3 +87,30 @@ def test_batched_odometry_matches_sequential(drive):
                                 drive["ins_pos"])
     m = ate(res_bat["positions"], ref, align=False)
     assert m["rmse"] < 0.15, m
+
+
+def test_pad_window_even_subsampling():
+    """Oversized INS windows must be subsampled evenly (not head-truncated)
+    so priors stay accurate across large packet batches."""
+    from veloslam_tpu.decode.calibration import hdl32
+    from veloslam_tpu.decode.decode import DeviceCalib
+
+    odo = StreamingOdometry(DeviceCalib.from_host(hdl32()))
+    n = 450
+    w = {"rel_s": np.linspace(0.0, 4.5, n).astype(np.float32),
+         "q": np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1)),
+         "t": np.linspace([0, 0, 0], [22.5, 0, 0], n).astype(np.float32),
+         "v": np.tile(np.array([5, 0, 0], np.float32), (n, 1))}
+    out = odo._pad_window(w)
+    L = odo.WINDOW_LEN
+    assert len(out["rel_s"]) == L
+    # endpoints kept, spacing stays uniform to within one source sample
+    assert out["rel_s"][0] == w["rel_s"][0]
+    assert out["rel_s"][-1] == w["rel_s"][-1]
+    gaps = np.diff(out["rel_s"])
+    assert gaps.max() < 2.5 * gaps.min()
+    # undersized windows still edge-pad
+    w2 = {k: v[:10] for k, v in w.items()}
+    out2 = odo._pad_window(w2)
+    assert len(out2["rel_s"]) == L
+    assert out2["rel_s"][-1] == w2["rel_s"][-1]

@@ -167,6 +167,23 @@ def test_slam_run_cli(tmp_path):
     assert traj.shape[1] == 8
 
 
+def test_slam_run_cli_fast(tmp_path):
+    """--fast: bulk batched odometry through the CLI (bench.py's
+    configuration at reduced scale) still writes trajectory + ATE."""
+    from veloslam_tpu.apps import slam_run
+    out = str(tmp_path / "out")
+    rc = slam_run.main(["--simulate", "1.2", "--out-dir", out,
+                        "--platform", "cpu", "--fast", "--batch", "1024"])
+    assert rc == 0
+    import json
+    import os
+    metrics = json.load(open(os.path.join(out, "metrics.json")))
+    assert metrics["n_frames"] >= 5
+    assert metrics["ate"]["rmse"] < 0.25
+    traj = np.loadtxt(os.path.join(out, "trajectory.txt"))
+    assert traj.shape[1] == 8
+
+
 def test_framestore_async_spill(tmp_path):
     """Background writer parity (HDLManager.cxx:321-389): eviction never
     blocks, queued frames stay readable, flush() lands them on disk."""

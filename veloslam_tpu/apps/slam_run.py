@@ -43,6 +43,14 @@ def main(argv=None) -> int:
                     help="write an interactive BEV trajectory artifact "
                          "(self-contained HTML; default bev.html in "
                          "--out-dir) — the headless SLAMViewer")
+    ap.add_argument("--fast", action="store_true",
+                    help="bulk odometry-only fast path: all frames of a "
+                         "large packet batch register in one device "
+                         "program (no keyframes/loop closure/map "
+                         "patches) — the bench.py configuration; use for "
+                         "high-throughput offline replay")
+    ap.add_argument("--batch", type=int, default=8192,
+                    help="packets per device dispatch in --fast mode")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -83,8 +91,46 @@ def main(argv=None) -> int:
             ap.error("--pcap required (or use --simulate)")
         pcap_path, ins_path = args.pcap, args.ins
 
-    res = pipe.run_offline(pcap_path, ins_path,
-                           max_packets=args.max_packets)
+    if args.fast:
+        import time as _time
+
+        from veloslam_tpu import constants as C
+        from veloslam_tpu.decode import calibration
+        from veloslam_tpu.decode.decode import DeviceCalib
+        from veloslam_tpu.io.pcap import read_lidar_packets
+        from veloslam_tpu.runtime.odometry import StreamingOdometry
+
+        if ins_path:
+            pipe.feed_ins_txt(ins_path)
+        pkts, times, _ = read_lidar_packets(pcap_path, args.max_packets)
+        calib_tbl = (calibration.from_xml(args.calibration)
+                     if args.calibration
+                     else calibration.default_for(args.model))
+        # frame slots per dispatch from the sensor timing model
+        block_us = (C.VLP16_FIRING_BLOCK_US if args.model == "vlp16"
+                    else C.HDL32_FIRING_BLOCK_US)
+        pkts_per_s = 1e6 / block_us / C.HDL_FIRINGS_PER_PACKET
+        if args.model == "hdl64":
+            pkts_per_s *= 2.0        # dual-block packets cover 6 firings
+        slots = max(4, int(np.ceil(args.batch / pkts_per_s * 10.0)) + 4)
+        odo = StreamingOdometry(DeviceCalib.from_host(calib_tbl),
+                                model=args.model,
+                                n_beams=calib_tbl.n_lasers, batched=True)
+        odo.MAX_FRAMES_BATCH = slots
+        t0 = _time.perf_counter()
+        res = odo.run(pkts, times, pipe.track, batch=args.batch)
+        wall = _time.perf_counter() - t0
+        res.update(registered_fraction=1.0, n_keyframes=0, n_closures=0,
+                   map_patches=0,
+                   timing={"wall_s": round(wall, 3),
+                           "frames_per_s": round(res["n_frames"] / wall, 1)
+                           if wall > 0 else None})
+        print(f"fast path: {res['n_frames']} frames in {wall:.2f}s "
+              f"({res['n_frames']/max(wall,1e-9):,.0f} frames/s, "
+              f"batch={args.batch}, slots={slots})")
+    else:
+        res = pipe.run_offline(pcap_path, ins_path,
+                               max_packets=args.max_packets)
 
     traj_path = os.path.join(args.out_dir, "trajectory.txt")
     with open(traj_path, "w") as f:

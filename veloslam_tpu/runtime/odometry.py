@@ -392,21 +392,22 @@ class StreamingOdometry:
     WINDOW_LEN = 64      # static INS-window length (pose samples)
 
     def _pad_window(self, w: dict) -> dict:
-        """Fix the window length so feed() never recompiles: trim the
-        middle or edge-pad (interpolation clamps at the edges, so repeated
-        boundary samples are harmless)."""
+        """Fix the window length so feed() never recompiles: subsample
+        evenly or edge-pad (interpolation clamps at the edges, so repeated
+        boundary samples are harmless).  Even subsampling — not head
+        truncation — keeps priors accurate across the whole batch when a
+        large packet batch spans more INS samples than WINDOW_LEN."""
         L = self.WINDOW_LEN
         n = len(w["rel_s"])
         out = {}
-        for k, v in w.items():
-            if n >= L:
-                out[k] = v[:L] if k != "rel_s" else v[:L]
-            else:
+        if n > L:
+            idx = np.linspace(0, n - 1, L).round().astype(np.int64)
+            for k, v in w.items():
+                out[k] = v[idx]
+        else:
+            for k, v in w.items():
                 pad = [(0, L - n)] + [(0, 0)] * (v.ndim - 1)
                 out[k] = np.pad(v, pad, mode="edge")
-        if n > L:                      # keep the last sample reachable
-            for k, v in w.items():
-                out[k] = np.concatenate([v[:L - 1], v[-1:]])
         return out
 
     def feed(self, pkts, times_us, track_window) -> None:
