@@ -75,3 +75,16 @@ class HdlClock:
             self._hour_base_us += HOUR_US          # counter wrapped: new hour
         self._last_report = us_into_hour
         return self._hour_base_us + us_into_hour
+
+    def ground(self, us_into_hour: int, utc_us: int) -> int:
+        """Pin the hour base to GPS truth: the sensor's position packet
+        pairs its µs-into-hour counter with an NMEA UTC fix, making the
+        base exact instead of inferred from pcap/wall-clock reference
+        time (io.packets.unpack_position_packet).  Returns the correction
+        applied in µs (0 on first grounding)."""
+        us_into_hour = int(us_into_hour)
+        new_base = int(utc_us) - us_into_hour
+        old = self._hour_base_us
+        self._hour_base_us = new_base
+        self._last_report = us_into_hour
+        return 0 if old is None else new_base - old

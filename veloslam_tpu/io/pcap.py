@@ -182,3 +182,26 @@ def read_lidar_packets(path: str, max_packets: Optional[int] = None
     arr = np.frombuffer(b"".join(pkts), np.uint8).reshape(
         len(pkts), C.HDL_PACKET_BYTES)
     return arr, np.asarray(times, np.int64), np.asarray(offsets, np.int64)
+
+
+def read_position_packets(path: str, max_packets: Optional[int] = None
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Bulk-load all 512-byte position-packet payloads from a pcap.
+
+    Returns (packets (N, 512) uint8, times_us (N,) int64).  The reference
+    receives these on port 8308 but drops them at its length-1206 gate
+    (HDLSource.cxx:211); here they ground the HDL clock to GPS UTC
+    (io.packets.unpack_position_packet, core.timesync.HdlClock.ground).
+    """
+    pkts, times = [], []
+    with PcapReader(path) as r:
+        for payload, t_us, _ in r:
+            if len(payload) == C.POSITION_PACKET_BYTES:
+                pkts.append(np.frombuffer(payload, np.uint8))
+                times.append(t_us)
+                if max_packets is not None and len(pkts) >= max_packets:
+                    break
+    if not pkts:
+        return (np.empty((0, C.POSITION_PACKET_BYTES), np.uint8),
+                np.empty(0, np.int64))
+    return np.stack(pkts), np.asarray(times, np.int64)

@@ -290,14 +290,37 @@ def generate_sequence(duration_s: float = 2.0, model: str = "hdl32",
     }
 
 
+SIM_ORIGIN_LLH = (31.0, 121.0, 10.0)     # WGS-84 origin of the sim world
+
+
 def write_sequence(seq: Dict[str, np.ndarray], out_dir: str,
-                   name: str = "sim") -> Dict[str, str]:
-    """Persist a simulated sequence as pcap + INS text log."""
+                   name: str = "sim",
+                   position_packet_period_s: float = 1.0) -> Dict[str, str]:
+    """Persist a simulated sequence as pcap + INS text log.
+
+    Position packets (512 B, port 8308, NMEA $GPRMC + µs-into-hour
+    counter) are interleaved every `position_packet_period_s` so offline
+    loads exercise the GPS clock-grounding path; pass 0 to disable."""
+    from veloslam_tpu.core import geodesy
+
     os.makedirs(out_dir, exist_ok=True)
     pcap_path = os.path.join(out_dir, f"{name}.pcap")
+    org_xyz = geodesy.llh2xyz_np(np.asarray(SIM_ORIGIN_LLH, np.float64))
+    next_pos_t = -np.inf if position_packet_period_s > 0 else np.inf
+    ins_i = 0
     with PcapWriter(pcap_path) as w:
         for pkt, t in zip(seq["packets"], seq["pkt_times_us"]):
-            w.write(pkt.tobytes(), int(t))
+            t = int(t)
+            if t * 1e-6 >= next_pos_t:
+                while ins_i + 1 < len(seq["ins_t_us"]) \
+                        and seq["ins_t_us"][ins_i + 1] <= t:
+                    ins_i += 1
+                llh = geodesy.enu2llh_np(
+                    np.asarray(seq["ins_pos"][ins_i], np.float64), org_xyz)
+                w.write(pk.pack_position_packet(
+                    t % 3_600_000_000, t, float(llh[0]), float(llh[1])), t)
+                next_pos_t = t * 1e-6 + position_packet_period_s
+            w.write(pkt.tobytes(), t)
     ins_path = os.path.join(out_dir, f"{name}_ins.txt")
     pk.write_ins_txt(ins_path, seq["ins_t_us"], seq["ins_pos"][:, :2],
                      seq["ins_yaw"],
