@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from veloslam_tpu import constants as C
 from veloslam_tpu.io import packets as pk
@@ -96,3 +97,59 @@ def test_idle_lidar_packets_decode_to_nothing():
     assert (f["dist_raw"] == 0).all()                 # no returns
     assert (f["az_ticks"] == az[0, -1]).all()         # frozen azimuth
     assert (f["gps_us"] == 1234567).all()
+
+
+def test_position_packet_roundtrip(tmp_path):
+    """write_sequence -> read_position_packets -> parse_gprmc recovers the
+    sim origin in degrees (regression: a deg/rad double-unit bug once put
+    0.42S 1.62E in every simulated pcap)."""
+    from veloslam_tpu.io import simulate as sim
+    seq = sim.generate_sequence(duration_s=0.3, model="hdl32", seed=3)
+    paths = sim.write_sequence(seq, str(tmp_path), name="pp",
+                               position_packet_period_s=0.1)
+    from veloslam_tpu.io.pcap import read_position_packets
+    pkts, times = read_position_packets(paths["pcap"])
+    assert len(pkts) >= 2
+    for raw in pkts:
+        info = pk.unpack_position_packet(raw.tobytes())
+        assert info["rmc"] is not None
+        # the sim drives within ~100 m of the origin: < 0.01 deg
+        assert abs(info["rmc"]["lat_deg"] - sim.SIM_ORIGIN_LLH[0]) < 0.01
+        assert abs(info["rmc"]["lon_deg"] - sim.SIM_ORIGIN_LLH[1]) < 0.01
+        assert info["pps_status_str"] == "locked"
+
+
+def test_gprmc_pack_parse_roundtrip():
+    utc_us = 1_700_000_123_456_789
+    s = pk.make_gprmc(utc_us, 31.23456, 121.65432, speed_knots=12.3)
+    got = pk.parse_gprmc(s)
+    assert got["valid"]
+    assert abs(got["lat_deg"] - 31.23456) < 1e-5
+    assert abs(got["lon_deg"] - 121.65432) < 1e-5
+    # GPRMC carries hundredths of a second
+    assert abs(got["utc_us"] - utc_us) < 20_000
+
+
+def test_position_packet_codec_roundtrip():
+    raw = pk.pack_position_packet(123_456_789, 1_700_000_000_000_000,
+                                  31.0, 121.0, pps_status=2)
+    info = pk.unpack_position_packet(raw)
+    assert info["us_into_hour"] == 123_456_789
+    assert info["pps_status"] == 2
+    assert info["rmc"]["lat_deg"] == pytest.approx(31.0, abs=1e-5)
+    assert info["rmc"]["lon_deg"] == pytest.approx(121.0, abs=1e-5)
+
+
+def test_hdlclock_ground_and_wrap():
+    from veloslam_tpu.core.timesync import HOUR_US, HdlClock
+    clock = HdlClock()
+    # ungrounded: resolves against the ref time
+    t1 = clock.resolve(1_000_000, ref_time_us=1_700_000_001_000_000)
+    assert t1 == 1_700_000_001_000_000
+    # grounding pins the hour base to GPS truth
+    corr = clock.ground(2_000_000, 1_700_000_002_500_000)
+    assert corr == 500_000
+    assert clock.resolve(3_000_000) == 1_700_000_003_500_000
+    # counter wrap after grounding advances the hour base
+    t_wrapped = clock.resolve(100)
+    assert t_wrapped == 1_700_000_000_500_000 + HOUR_US + 100

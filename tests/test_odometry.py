@@ -114,3 +114,37 @@ def test_pad_window_even_subsampling():
     out2 = odo._pad_window(w2)
     assert len(out2["rel_s"]) == L
     assert out2["rel_s"][-1] == w2["rel_s"][-1]
+
+
+def test_streaming_run_processes_tail_and_short_recordings(drive):
+    """run() must not drop the trailing partial batch: a batch size larger
+    than the whole recording (the old silent-0-frames failure) and a
+    non-divisible batch must both produce the full trajectory."""
+    calib = DeviceCalib.from_host(calibration.hdl32())
+    track = _track(drive)
+    ref = StreamingOdometry(calib, reg_iterations=8).run(
+        drive["packets"], drive["pkt_times_us"], track, batch=256)
+    assert ref["n_frames"] >= 8
+
+    # batch larger than the recording: everything is "tail"
+    big = StreamingOdometry(calib, reg_iterations=8).run(
+        drive["packets"], drive["pkt_times_us"], track,
+        batch=len(drive["packets"]) + 500)
+    assert big["n_frames"] == ref["n_frames"]
+
+    # non-divisible batch loses no tail frames
+    odd = StreamingOdometry(calib, reg_iterations=8).run(
+        drive["packets"], drive["pkt_times_us"], track, batch=300)
+    assert odd["n_frames"] == ref["n_frames"]
+    np.testing.assert_allclose(odd["times_us"], ref["times_us"])
+
+
+def test_streaming_run_grows_trajectory_capacity(drive):
+    """A state created with tiny max_frames must still record every frame
+    (run() grows the device buffers from the recording length)."""
+    calib = DeviceCalib.from_host(calibration.hdl32())
+    odo = StreamingOdometry(calib, reg_iterations=8, max_frames=2)
+    res = odo.run(drive["packets"], drive["pkt_times_us"], _track(drive),
+                  batch=256)
+    assert res["n_frames"] >= 8
+    assert np.all(np.diff(res["times_us"]) > 0)

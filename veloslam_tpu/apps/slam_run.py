@@ -94,11 +94,11 @@ def main(argv=None) -> int:
     if args.fast:
         import time as _time
 
-        from veloslam_tpu import constants as C
         from veloslam_tpu.decode import calibration
         from veloslam_tpu.decode.decode import DeviceCalib
         from veloslam_tpu.io.pcap import read_lidar_packets
-        from veloslam_tpu.runtime.odometry import StreamingOdometry
+        from veloslam_tpu.runtime.odometry import (StreamingOdometry,
+                                                   slots_for_batch)
 
         if ins_path:
             pipe.feed_ins_txt(ins_path)
@@ -106,17 +106,10 @@ def main(argv=None) -> int:
         calib_tbl = (calibration.from_xml(args.calibration)
                      if args.calibration
                      else calibration.default_for(args.model))
-        # frame slots per dispatch from the sensor timing model
-        block_us = (C.VLP16_FIRING_BLOCK_US if args.model == "vlp16"
-                    else C.HDL32_FIRING_BLOCK_US)
-        pkts_per_s = 1e6 / block_us / C.HDL_FIRINGS_PER_PACKET
-        if args.model == "hdl64":
-            pkts_per_s *= 2.0        # dual-block packets cover 6 firings
-        slots = max(4, int(np.ceil(args.batch / pkts_per_s * 10.0)) + 4)
+        slots = slots_for_batch(args.model, args.batch)
         odo = StreamingOdometry(DeviceCalib.from_host(calib_tbl),
                                 model=args.model,
                                 n_beams=calib_tbl.n_lasers, batched=True)
-        odo.MAX_FRAMES_BATCH = slots
         t0 = _time.perf_counter()
         res = odo.run(pkts, times, pipe.track, batch=args.batch)
         wall = _time.perf_counter() - t0

@@ -305,7 +305,12 @@ def write_sequence(seq: Dict[str, np.ndarray], out_dir: str,
 
     os.makedirs(out_dir, exist_ok=True)
     pcap_path = os.path.join(out_dir, f"{name}.pcap")
-    org_xyz = geodesy.llh2xyz_np(np.asarray(SIM_ORIGIN_LLH, np.float64))
+    # geodesy works in radians (core/geodesy.py module contract); the
+    # origin constant and NMEA sentences are degrees.
+    org_rad = np.asarray([np.deg2rad(SIM_ORIGIN_LLH[0]),
+                          np.deg2rad(SIM_ORIGIN_LLH[1]),
+                          SIM_ORIGIN_LLH[2]], np.float64)
+    org_xyz = geodesy.llh2xyz_np(org_rad)
     next_pos_t = -np.inf if position_packet_period_s > 0 else np.inf
     ins_i = 0
     with PcapWriter(pcap_path) as w:
@@ -318,7 +323,9 @@ def write_sequence(seq: Dict[str, np.ndarray], out_dir: str,
                 llh = geodesy.enu2llh_np(
                     np.asarray(seq["ins_pos"][ins_i], np.float64), org_xyz)
                 w.write(pk.pack_position_packet(
-                    t % 3_600_000_000, t, float(llh[0]), float(llh[1])), t)
+                    t % 3_600_000_000, t,
+                    float(np.rad2deg(llh[0])),
+                    float(np.rad2deg(llh[1]))), t)
                 next_pos_t = t * 1e-6 + position_packet_period_s
             w.write(pkt.tobytes(), t)
     ins_path = os.path.join(out_dir, f"{name}_ins.txt")

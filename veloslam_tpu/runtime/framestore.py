@@ -45,7 +45,12 @@ class FrameStore:
         self._meta = Timeline(("carpose_q", "carpose_t", "n_points"))
         self._touch: Dict[int, int] = {}
         self._clock = 0
-        self._lock = threading.Lock()
+        # One reentrant lock guards _frames/_touch/_meta/_spilled/_pending:
+        # add_frame runs on the ingest thread while wait_for_frame /
+        # get_* readers run on consumers (the reference's condvar+mutex
+        # waitForFrame design, HDLManager.cxx:213-225).  RLock because
+        # _materialize -> _evict_if_needed re-enters.
+        self._lock = threading.RLock()
         self._arrival = threading.Condition()
         self._pending: Dict[int, FrameDict] = {}
         self._wq: Optional[queue.Queue] = None
@@ -89,17 +94,18 @@ class FrameStore:
                   carpose_q: np.ndarray = None,
                   carpose_t: np.ndarray = None) -> None:
         start_us = int(start_us)
-        self._clock += 1
-        self._frames[start_us] = frame
-        self._touch[start_us] = self._clock
-        self._meta.add(
-            start_us,
-            carpose_q=(np.asarray([1.0, 0, 0, 0]) if carpose_q is None
-                       else np.asarray(carpose_q)),
-            carpose_t=(np.zeros(3) if carpose_t is None
-                       else np.asarray(carpose_t)),
-            n_points=int(frame["mask"].sum()))
-        self._evict_if_needed()
+        with self._lock:
+            self._clock += 1
+            self._frames[start_us] = frame
+            self._touch[start_us] = self._clock
+            self._meta.add(
+                start_us,
+                carpose_q=(np.asarray([1.0, 0, 0, 0]) if carpose_q is None
+                           else np.asarray(carpose_q)),
+                carpose_t=(np.zeros(3) if carpose_t is None
+                           else np.asarray(carpose_t)),
+                n_points=int(frame["mask"].sum()))
+            self._evict_if_needed()
         with self._arrival:
             self._arrival.notify_all()
 
@@ -129,11 +135,11 @@ class FrameStore:
     # --- reads (prepareFrame analog: HDLManager.cxx:195-211) ----------------
 
     def _materialize(self, start_us: int) -> Optional[FrameDict]:
-        self._clock += 1
-        if start_us in self._frames:
-            self._touch[start_us] = self._clock
-            return self._frames[start_us]
         with self._lock:
+            self._clock += 1
+            if start_us in self._frames:
+                self._touch[start_us] = self._clock
+                return self._frames[start_us]
             pending = self._pending.get(start_us)
             path = self._spilled.get(start_us)
         if pending is not None:       # queued for write — still in RAM
@@ -141,33 +147,38 @@ class FrameStore:
         if path is not None:
             data = np.load(path, allow_pickle=False)
             frame = {k: data[k] for k in data.files}
-            self._frames[start_us] = frame
-            self._touch[start_us] = self._clock
-            self._evict_if_needed()
+            with self._lock:
+                self._frames[start_us] = frame
+                self._touch[start_us] = self._clock
+                self._evict_if_needed()
             return frame
         return None
 
     def get_frame_at(self, t_us: int) -> Optional[FrameDict]:
         """Exact-start lookup (getFrameAt, HDLManager.h:141)."""
-        times, _ = self._meta.arrays()
-        i = np.searchsorted(times, int(t_us))
-        if i >= len(times) or times[i] != int(t_us):
-            return None
-        return self._materialize(int(times[i]))
+        with self._lock:
+            times, _ = self._meta.arrays()
+            i = np.searchsorted(times, int(t_us))
+            if i >= len(times) or times[i] != int(t_us):
+                return None
+            return self._materialize(int(times[i]))
 
     def get_frame_near(self, t_us: int) -> Optional[FrameDict]:
         """Nearest-start lookup (getFrameNear, HDLManager.h:144)."""
-        if len(self._meta) == 0:
-            return None
-        times, _ = self._meta.arrays()
-        return self._materialize(int(times[self._meta.nearest(int(t_us))]))
+        with self._lock:
+            if len(self._meta) == 0:
+                return None
+            times, _ = self._meta.arrays()
+            return self._materialize(
+                int(times[self._meta.nearest(int(t_us))]))
 
     def get_recent_frame(self) -> Optional[FrameDict]:
         """Latest frame (getRecentFrame, HDLManager.h:138)."""
-        if len(self._meta) == 0:
-            return None
-        times, _ = self._meta.arrays()
-        return self._materialize(int(times[-1]))
+        with self._lock:
+            if len(self._meta) == 0:
+                return None
+            times, _ = self._meta.arrays()
+            return self._materialize(int(times[-1]))
 
     def wait_for_frame(self, after_us: int = -1,
                        timeout_s: Optional[float] = None
@@ -180,10 +191,11 @@ class FrameStore:
                     else time.monotonic() + timeout_s)
 
         def newest_after():
-            if len(self._meta) == 0:
-                return None
-            times, _ = self._meta.arrays()
-            return int(times[-1]) if int(times[-1]) > after_us else None
+            with self._lock:
+                if len(self._meta) == 0:
+                    return None
+                times, _ = self._meta.arrays()
+                return int(times[-1]) if int(times[-1]) > after_us else None
 
         with self._arrival:
             while True:
@@ -201,11 +213,13 @@ class FrameStore:
     def get_range_between(self, t0_us: int, t1_us: int) -> List[FrameDict]:
         """All frames starting in [t0, t1) (getRangeBetween,
         HDLManager.h:146)."""
-        times, _ = self._meta.arrays()
-        sl = self._meta.range_between(int(t0_us), int(t1_us))
+        with self._lock:
+            times, _ = self._meta.arrays()
+            sl = self._meta.range_between(int(t0_us), int(t1_us))
+            starts = [int(t) for t in times[sl]]
         out = []
-        for t in times[sl]:
-            f = self._materialize(int(t))
+        for t in starts:
+            f = self._materialize(t)
             if f is not None:
                 out.append(f)
         return out
@@ -213,7 +227,8 @@ class FrameStore:
     def all_frame_meta(self):
         """(times_us, values) of the frame index (getAllFrameMeta,
         HDLManager.h:148)."""
-        return self._meta.arrays()
+        with self._lock:
+            return self._meta.arrays()
 
     # --- meta checkpoint (saveHDLMeta/loadHDLMeta contract) ------------------
 

@@ -328,6 +328,22 @@ def odometry_step_batched(state: OdometryState, pkts: jax.Array,
         have_map=state.have_map | upd), open_start
 
 
+def packets_per_second(model: str) -> float:
+    """Sensor packet rate from the timing model (HDL-64 packets carry two
+    32-laser blocks per firing, so its packet rate doubles)."""
+    block_us = (C.VLP16_FIRING_BLOCK_US if model == "vlp16"
+                else C.HDL32_FIRING_BLOCK_US)
+    rate = 1e6 / block_us / C.HDL_FIRINGS_PER_PACKET
+    return rate * 2.0 if model == "hdl64" else rate
+
+
+def slots_for_batch(model: str, batch: int, frame_rate_hz: float = 10.0
+                    ) -> int:
+    """Frame slots a packet batch may complete (+margin)."""
+    return max(4, int(np.ceil(batch / packets_per_second(model)
+                              * frame_rate_hz)) + 4)
+
+
 class StreamingOdometry:
     """Host driver: feeds batches, keeps int64 time anchors, reads the
     trajectory once at the end (axon-safe: no mid-stream readbacks)."""
@@ -355,6 +371,24 @@ class StreamingOdometry:
         self._slot_idx = [jnp.asarray(k, jnp.int32)
                           for k in range(self.MAX_FRAMES_BATCH)]
 
+    def ensure_capacity(self, n_frames: int) -> None:
+        """Grow the device trajectory buffers to hold at least `n_frames`
+        (device-side pad, no readback).  Call before streaming a recording
+        longer than the buffers — the .at[n].set scatter silently drops
+        out-of-bounds writes otherwise."""
+        st = self.state
+        cur = st.traj_q.shape[0]
+        if n_frames <= cur:
+            return
+        pad = n_frames - cur
+        self.state = st._replace(
+            traj_q=jnp.concatenate(
+                [st.traj_q, jnp.zeros((pad, 4), jnp.float32)]),
+            traj_t=jnp.concatenate(
+                [st.traj_t, jnp.zeros((pad, 3), jnp.float32)]),
+            traj_time=jnp.concatenate(
+                [st.traj_time, jnp.zeros(pad, jnp.float32)]))
+
     def run(self, pkts: np.ndarray, times_us: np.ndarray, track,
             batch: int = 512) -> dict:
         """Stream a whole recording; returns trajectory dict (single
@@ -363,9 +397,38 @@ class StreamingOdometry:
         Double-buffered device feed (the reference's hardDriveBuffer1/2
         idea, HDLManager.h:210-211, turned toward H2D): batch k+1 uploads
         asynchronously while the device computes batch k, so the stream
-        never stalls on the host→device link."""
-        n = (len(pkts) // batch) * batch
-        starts = list(range(0, n, batch))
+        never stalls on the host→device link.
+
+        A trailing partial batch is padded with idle packets (no returns,
+        frozen azimuth — decodes to nothing, closes no frame) up to the
+        batch size, so short recordings and stream tails are processed
+        through the same compiled fixed-shape program instead of being
+        silently dropped."""
+        if len(pkts) == 0:
+            return {"times_us": np.zeros(0, np.int64),
+                    "quaternions": np.zeros((0, 4), np.float32),
+                    "positions": np.zeros((0, 3), np.float32),
+                    "n_frames": 0}
+        # Frame slots per dispatch must cover the batch's revolutions.
+        need = slots_for_batch(self.model, batch)
+        if need > self.MAX_FRAMES_BATCH:
+            self.MAX_FRAMES_BATCH = need
+            self._slot_idx = [jnp.asarray(k, jnp.int32)
+                              for k in range(need)]
+        # Trajectory capacity sized from the recording so long drives
+        # never truncate (the .at[n].set scatter would drop silently).
+        self.ensure_capacity(
+            int(len(pkts) / packets_per_second(self.model) * 12.0)
+            + 2 * self.MAX_FRAMES_BATCH + 16)
+        tail = len(pkts) % batch
+        if tail:
+            from veloslam_tpu.io import packets as pkmod
+            pad = batch - tail
+            pkts = np.concatenate(
+                [pkts, pkmod.idle_lidar_packets(pkts[-1], pad)])
+            times_us = np.concatenate(
+                [times_us, np.full(pad, times_us[-1], np.int64)])
+        starts = list(range(0, len(pkts), batch))
         next_dev = jax.device_put(pkts[starts[0]:starts[0] + batch]) \
             if starts else None
         for i, s in enumerate(starts):
