@@ -258,3 +258,56 @@ def test_vlp16_and_hdl64_assembly():
         assert f["n_points"] > 1000
         occupied_beams = (f["mask"].sum(axis=1) > 0).sum()
         assert occupied_beams > n_beams * 0.6
+
+
+def test_hdl64_frames_are_beam_sorted():
+    """HDL-64 frame rows must read bottom beam -> top beam (the reference
+    re-sorts by vertical angle at frame split, HDLParser.cxx:880-893) even
+    though the wire order interleaves the upper/lower 32-laser blocks."""
+    cal = calibration.hdl64()
+    dcal = DeviceCalib.from_host(cal)
+    rows = np.asarray(dcal.beam_row)
+    # the row permutation sorts vertical angles ascending
+    vert_by_row = np.empty(64)
+    vert_by_row[rows] = cal.vert_correction_deg
+    assert np.all(np.diff(vert_by_row) >= 0)
+
+    # end-to-end: per-row z of a constant-range frame ascends with row
+    seq = sim.generate_sequence(duration_s=0.25, model="hdl64",
+                                world=sim.World.demo(1), seed=4)
+    frames = _decode_and_assemble(seq, batch_pkts=32)
+    f = frames[-1]
+    # beams pointing further down see the (z=0) ground closer to the
+    # sensor; compare median elevation angle per occupied row instead of z
+    # (z depends on range).  elevation = asin(z_rel / dist) in the sensor
+    # frame; the sim vehicle is at z=2.
+    med = np.full(64, np.nan)
+    for r in range(64):
+        m = f["mask"][r]
+        if m.sum() < 50:
+            continue
+        p = f["xyz"][r][m]
+        d = np.linalg.norm(p - [0, 0, 2.0], axis=1)
+        med[r] = np.median(np.arcsin(np.clip((p[:, 2] - 2.0) / d, -1, 1)))
+    got = med[~np.isnan(med)]
+    assert len(got) > 40
+    assert (np.diff(got) > -1e-3).mean() > 0.95, got
+
+
+def test_laser_selection_masks_decode():
+    """SensorConfig.laser_mask -> DeviceCalib.laser_enabled drops disabled
+    lasers' returns (setLaserSelection parity, HDLParser.h:101-124)."""
+    from veloslam_tpu.config import SensorConfig
+    sc = SensorConfig(model="hdl32", laser_mask=tuple(range(0, 32, 2)))
+    en = sc.enabled_lasers()
+    assert en.sum() == 16 and en[0] and not en[1]
+    cal = calibration.hdl32()
+    dcal = DeviceCalib.from_host(cal, enabled=en)
+    seq = sim.generate_sequence(duration_s=0.15, model="hdl32",
+                                world=sim.World.demo(1), seed=4)
+    dec = decode_packets(jnp.asarray(seq["packets"][:32]), dcal,
+                         model="hdl32")
+    valid = np.asarray(dec.valid)
+    lid = np.asarray(dec.laser_id)
+    assert valid[lid % 2 == 1].sum() == 0        # odd lasers all masked
+    assert valid[lid % 2 == 0].sum() > 1000      # even lasers still fire

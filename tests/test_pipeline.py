@@ -250,3 +250,82 @@ def test_pipeline_ndt_method(sim_drive):
                                 seq["ins_pos"])
     m = ate(res["positions"][:, :2], ref[:, :2], align=False)
     assert m["rmse"] < 0.2, m
+
+
+def test_offline_gps_grounding_overrides_capture_latency(tmp_path):
+    """run_offline must resolve HDL stamps from position-packet GPS
+    grounding, not pcap capture timestamps: a pcap whose record times are
+    shifted +7 s (capture latency) still yields frame times on the true
+    GPS clock."""
+    from veloslam_tpu.config import PipelineConfig, SensorConfig, SlamConfig
+    from veloslam_tpu.io import simulate as sim
+    from veloslam_tpu.io.pcap import PcapReader, PcapWriter
+
+    seq = sim.generate_sequence(duration_s=0.5, model="hdl32", seed=9,
+                                world=sim.World.demo(2))
+    paths = sim.write_sequence(seq, str(tmp_path), name="g",
+                               position_packet_period_s=0.2)
+    # rewrite with +7 s record (capture) times; payloads unchanged
+    shifted = str(tmp_path / "shifted.pcap")
+    with PcapReader(paths["pcap"]) as r, PcapWriter(shifted) as w:
+        for payload, t_us, _ in r:
+            w.write(payload, t_us + 7_000_000)
+    pipe = SlamPipeline(SlamConfig(
+        sensor=SensorConfig(model="hdl32"),
+        pipeline=PipelineConfig(packets_per_batch=256)))
+    res = pipe.run_offline(shifted, paths["ins"])
+    assert res["gps_health"]["grounded"]
+    assert res["gps_health"]["ground_correction_us"] == -7_000_000
+    assert res["n_frames"] >= 3
+    t0 = int(seq["pkt_times_us"][0])
+    # frame stamps on the true GPS clock (within the 0.5 s drive), not +7 s
+    assert np.all(res["times_us"] >= t0 - 200_000)
+    assert np.all(res["times_us"] <= t0 + 1_000_000), res["times_us"][:3]
+
+
+def test_frame_redecode_from_pcap_offsets(sim_drive, tmp_path):
+    """Frames whose payload was dropped (tiny cache, no spill dir) must
+    re-materialize by decoding from their pcap byte offsets — the
+    reference's getFrame contract (HDLParser.cxx:505-544): pcap + meta
+    alone rebuilds the session."""
+    seq, paths = sim_drive
+    # Reference run: big cache keeps every payload in RAM.
+    ref = SlamPipeline(_cfg())
+    ref.run_offline(paths["pcap"], paths["ins"])
+    assert ref.frames.get_recent_frame() is not None
+
+    # Constrained run: payloads beyond a 2-frame cache are DROPPED.
+    pipe = SlamPipeline(_cfg())
+    pipe.frames.capacity = 2
+    pipe.run_offline(paths["pcap"], paths["ins"])
+    times, _ = pipe.frames.all_frame_meta()
+    assert len(times) >= 5
+    # every long-evicted frame re-materializes exactly (incl. frames that
+    # stayed open across n_done==0 batches — a past offset-tracking bug)
+    for i in range(1, len(times) - 1):
+        got = pipe.frames.get_frame_at(int(times[i]))
+        assert got is not None, f"re-decode failed for frame {i}"
+        want = ref.frames.get_frame_at(int(times[i]))
+        np.testing.assert_array_equal(got["mask"], want["mask"])
+        np.testing.assert_allclose(got["xyz"][got["mask"]],
+                                   want["xyz"][want["mask"]],
+                                   rtol=1e-5, atol=1e-4)
+    early = int(times[1])
+    want = ref.frames.get_frame_at(early)
+
+    # Checkpoint with sources, resume a FRESH pipeline from meta + pcap
+    # alone (delete the spilled payloads) — loadHDLMeta contract.
+    ck = str(tmp_path / "ck")
+    pipe.save_checkpoint(ck)
+    import glob
+    import os
+    for f in glob.glob(os.path.join(ck, "frames", "*.npz")):
+        os.remove(f)
+    pipe2 = SlamPipeline(_cfg())
+    pipe2.load_checkpoint(ck)
+    got2 = pipe2.frames.get_frame_at(early)
+    assert got2 is not None, "resume-from-pcap re-decode failed"
+    np.testing.assert_array_equal(got2["mask"], want["mask"])
+    np.testing.assert_allclose(got2["xyz"][got2["mask"]],
+                               want["xyz"][want["mask"]],
+                               rtol=1e-5, atol=1e-4)

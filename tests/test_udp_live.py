@@ -246,3 +246,56 @@ def test_pipeline_ins_dispatch():
     assert len(pipe.imu_log) == 1
     assert pipe.imu_log[0][2] == (10, 20, 30)
     assert "ins_health" in pipe.results()
+
+
+def test_online_gps_grounding_without_ins():
+    """Position packets (port 8308) must ground HDL stamps to GPS UTC with
+    NO INS present: replay lidar + position packets only; resolved frame
+    times must land on the simulated GPS clock (~t0), not the wall clock
+    (decades away).  Reference binds the port (HDLSource.cxx:484-485) but
+    never uses the payload; here it is the live clock-grounding path."""
+    from veloslam_tpu.config import PipelineConfig, SensorConfig, SlamConfig
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    seq = sim.generate_sequence(duration_s=0.6, model="hdl32", seed=11,
+                                world=sim.World.demo(2))
+    lidar_port, ins_port, pos_port = 42410, 42411, 42412
+    t0 = int(seq["pkt_times_us"][0])
+    ready = threading.Event()
+
+    def send_position():
+        ready.wait(timeout=10)
+        # a fix every ~0.2 s across the drive, leading the lidar stream
+        for k in range(6):
+            t = t0 + k * 200_000
+            raw = pk.pack_position_packet(t % 3_600_000_000, t, 31.0, 121.0)
+            send_struct(raw, "127.0.0.1", pos_port)
+            time.sleep(0.02)
+
+    def send_lidar():
+        ready.wait(timeout=10)
+        time.sleep(0.4)             # let grounding land first
+        replay_packets(seq["packets"], "127.0.0.1", lidar_port, pace_us=100)
+
+    cfg = SlamConfig(sensor=SensorConfig(model="hdl32"),
+                     pipeline=PipelineConfig(packets_per_batch=128))
+    pipe = SlamPipeline(cfg)
+    pipe.warmup()
+    t1 = threading.Thread(target=send_position, daemon=True)
+    t2 = threading.Thread(target=send_lidar, daemon=True)
+    t1.start()
+    t2.start()
+    res = pipe.run_online(lidar_port=lidar_port, ins_port=ins_port,
+                          position_port=pos_port,
+                          duration_s=12.0, idle_timeout_s=2.5,
+                          on_ready=ready.set)
+    t1.join(timeout=5)
+    t2.join(timeout=5)
+    assert res["gps_health"]["grounded"], res["gps_health"]
+    assert res["gps_health"]["position_count"] >= 3
+    assert res["gps_health"]["last_fix_lat_deg"] == pytest.approx(31.0,
+                                                                  abs=1e-4)
+    assert res["n_frames"] >= 2, res["n_frames"]
+    # stamps resolved on the simulated GPS clock, not the wall clock
+    assert np.all(np.abs(res["times_us"] - t0) < 5_000_000), (
+        res["times_us"][:3], t0)

@@ -27,6 +27,9 @@ def main(argv=None) -> int:
     ap.add_argument("--model", default="hdl32",
                     choices=["hdl32", "vlp16", "hdl64"])
     ap.add_argument("--calibration", help="Velodyne XML calibration file")
+    ap.add_argument("--lasers", metavar="SPEC",
+                    help="laser selection: comma list of wire laser ids "
+                         "and ranges, e.g. '0,2,4-15' (default: all)")
     ap.add_argument("--out-dir", default="slam_out")
     ap.add_argument("--max-packets", type=int)
     ap.add_argument("--simulate", type=float, metavar="SECONDS",
@@ -62,8 +65,19 @@ def main(argv=None) -> int:
     from veloslam_tpu.runtime.pipeline import SlamPipeline
 
     os.makedirs(args.out_dir, exist_ok=True)
+    laser_mask = None
+    if args.lasers:
+        ids = []
+        for part in args.lasers.split(","):
+            if "-" in part:
+                a, b = part.split("-")
+                ids.extend(range(int(a), int(b) + 1))
+            else:
+                ids.append(int(part))
+        laser_mask = tuple(sorted(set(ids)))
     cfg = SlamConfig(sensor=SensorConfig(
-        model=args.model, calibration_path=args.calibration))
+        model=args.model, calibration_path=args.calibration,
+        laser_mask=laser_mask))
     pipe = SlamPipeline(cfg, spill_dir=os.path.join(args.out_dir, "spill"))
 
     gt = None
@@ -107,9 +121,10 @@ def main(argv=None) -> int:
                      if args.calibration
                      else calibration.default_for(args.model))
         slots = slots_for_batch(args.model, args.batch)
-        odo = StreamingOdometry(DeviceCalib.from_host(calib_tbl),
-                                model=args.model,
-                                n_beams=calib_tbl.n_lasers, batched=True)
+        odo = StreamingOdometry(
+            DeviceCalib.from_host(calib_tbl,
+                                  enabled=cfg.sensor.enabled_lasers()),
+            model=args.model, n_beams=calib_tbl.n_lasers, batched=True)
         t0 = _time.perf_counter()
         res = odo.run(pkts, times, pipe.track, batch=args.batch)
         wall = _time.perf_counter() - t0

@@ -39,10 +39,22 @@ class SensorConfig:
     # streams double the firing positions per revolution — raise this to
     # ~4400 when keeping both returns.
     max_firings_per_frame: int = C.MAX_FIRINGS_PER_FRAME
+    # Laser selection: wire laser ids to decode; None enables all
+    # (setLaserSelection parity, reference HDLParser.h:101-124).
+    laser_mask: Optional[Tuple[int, ...]] = None
 
     @property
     def n_lasers(self) -> int:
         return {"hdl32": 32, "vlp16": 16, "hdl64": 64}[self.model]
+
+    def enabled_lasers(self):
+        """(n_lasers,) bool mask from `laser_mask` (None → all True)."""
+        import numpy as np
+        if self.laser_mask is None:
+            return None
+        en = np.zeros(self.n_lasers, bool)
+        en[list(self.laser_mask)] = True
+        return en
 
 
 @dataclasses.dataclass(frozen=True)

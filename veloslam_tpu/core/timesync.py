@@ -76,6 +76,46 @@ class HdlClock:
         self._last_report = us_into_hour
         return self._hour_base_us + us_into_hour
 
+    @property
+    def grounded(self) -> bool:
+        return self._hour_base_us is not None
+
+    def resolve_batch(self, us_array, ref_time_us: Optional[int] = None):
+        """Vectorized `resolve` over an ordered stamp array (numpy int64) —
+        replaces a per-packet Python loop on the ingest path.  Counter
+        wraps within the array advance the hour base cumulatively."""
+        import numpy as np
+
+        us = np.asarray(us_array, np.int64)
+        if len(us) == 0:
+            return np.empty(0, np.int64)
+        if self._hour_base_us is None:
+            if ref_time_us is None:
+                raise ValueError("first HDL stamp needs a reference time "
+                                 "to establish the hour base")
+            self._hour_base_us = int(ref_time_us) - int(us[0])
+            self._last_report = int(us[0])
+        prev = np.concatenate([[self._last_report], us[:-1]])
+        wraps = np.cumsum(us < prev)
+        out = self._hour_base_us + us + wraps * HOUR_US
+        self._hour_base_us += int(wraps[-1]) * HOUR_US
+        self._last_report = int(us[-1])
+        return out
+
+    def maybe_ground(self, us_into_hour: int, utc_us: int,
+                     tolerance_us: int = 50_000) -> bool:
+        """Ground only when it matters: the first time, or when the implied
+        hour base drifted beyond `tolerance_us` from the current one.
+        NMEA RMC time is quantized to ~10 ms, so re-grounding on every
+        position packet would jitter resolved stamps; this keeps the base
+        stable once it is within tolerance.  Returns True if grounded."""
+        new_base = int(utc_us) - int(us_into_hour)
+        if self._hour_base_us is not None and \
+                abs(new_base - self._hour_base_us) <= tolerance_us:
+            return False
+        self.ground(us_into_hour, utc_us)
+        return True
+
     def ground(self, us_into_hour: int, utc_us: int) -> int:
         """Pin the hour base to GPS truth: the sensor's position packet
         pairs its µs-into-hour counter with an NMEA UTC fix, making the
@@ -88,3 +128,24 @@ class HdlClock:
         self._hour_base_us = new_base
         self._last_report = us_into_hour
         return 0 if old is None else new_base - old
+
+
+def resolve_hour_stamps(gps_us, hour_base_us: int,
+                        ref_us: Optional[int] = None):
+    """Offline bulk resolution: ordered µs-into-hour stamps → absolute µs
+    against a grounded hour base, handling counter wraps within the array.
+
+    `ref_us` (e.g. the first pcap record capture time) disambiguates which
+    hour the FIRST stamp belongs to when the grounding packet arrived in a
+    later hour than the start of the recording."""
+    import numpy as np
+
+    us = np.asarray(gps_us, np.int64)
+    if len(us) == 0:
+        return np.empty(0, np.int64)
+    wraps = np.concatenate([[0], np.cumsum(us[1:] < us[:-1])])
+    out = int(hour_base_us) + us + wraps * HOUR_US
+    if ref_us is not None:
+        k = int(round((int(ref_us) - int(out[0])) / HOUR_US))
+        out = out + k * HOUR_US
+    return out

@@ -50,17 +50,33 @@ class DeviceCalib(NamedTuple):
     vert_offset_m: jax.Array        # (L,)
     horiz_offset_m: jax.Array       # (L,)
     laser_enabled: jax.Array        # (L,) bool — laser selection mask
+    beam_row: jax.Array             # (L,) int32 — wire laser id → output
+    # frame row.  Identity except HDL-64, whose wire order interleaves the
+    # two 32-laser blocks; the reference re-sorts beams by vertical angle
+    # at frame split (HDLParser.cxx:179-187, applied 880-893) so frames
+    # read bottom beam → top beam.
 
     @classmethod
-    def from_host(cls, calib, enabled=None) -> "DeviceCalib":
+    def from_host(cls, calib, enabled=None, sort_beams=None) -> "DeviceCalib":
+        """`enabled`: (L,) bool laser-selection mask (setLaserSelection
+        parity, reference HDLParser.h:101-124).  `sort_beams`: order output
+        frame rows by ascending vertical angle; default True for 64-laser
+        calibrations (the reference's HDL64BeamLUT contract), False
+        otherwise (wire order)."""
         import numpy as np
         L = calib.n_lasers
         en = np.ones(L, bool) if enabled is None else np.asarray(enabled, bool)
+        if sort_beams is None:
+            sort_beams = L == 64
+        if sort_beams:
+            rows = np.argsort(calib.beam_order())    # inverse permutation
+        else:
+            rows = np.arange(L)
         f32 = lambda a: jnp.asarray(a, jnp.float32)
         return cls(f32(calib.rot_correction_deg), f32(calib.sin_vert),
                    f32(calib.cos_vert), f32(calib.dist_correction_m),
                    f32(calib.vert_offset_m), f32(calib.horiz_offset_m),
-                   jnp.asarray(en))
+                   jnp.asarray(en), jnp.asarray(rows, jnp.int32))
 
 
 class DecodedBatch(NamedTuple):
@@ -70,7 +86,8 @@ class DecodedBatch(NamedTuple):
     intensity: jax.Array    # (N, 12, 32) float32
     dist_m: jax.Array       # (N, 12, 32) float32
     valid: jax.Array        # (N, 12, 32) bool
-    laser_id: jax.Array     # (N, 12, 32) int32 — global beam index
+    laser_id: jax.Array     # (N, 12, 32) int32 — output beam row (ordered
+    #                         bottom→top for HDL-64 via calib.beam_row)
     az_ticks: jax.Array     # (N, 12) int32 — raw block azimuth [0, 36000)
     az_pt_ticks: jax.Array  # (N, 12, 32) float32 — interpolated per point
     dt_s: jax.Array         # (N, 12, 32) float32 — firing offset from packet
@@ -189,6 +206,10 @@ def decode_packets(pkts_u8: jax.Array, calib: DeviceCalib, *, model: str,
     y = xy * cos_a + h_off * sin_a
     z = dist_m * sin_v + v_off
     xyz = jnp.stack([x, y, z], axis=-1)
+
+    # Output frame row: wire id through the beam re-sort LUT (identity
+    # unless the calibration orders rows by vertical angle — HDL-64).
+    laser_id = calib.beam_row[corr_id]
 
     valid = (dist_raw != 0) & calib.laser_enabled[corr_id]
     if points_skip:

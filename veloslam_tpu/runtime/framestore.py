@@ -7,8 +7,13 @@ query, and a meta-index checkpoint that lets a session resume from disk
 alone (saveHDLMeta/loadHDLMeta contract, HDLManager.cxx:427-467).
 
 Differences by design: frames are dense numpy tensors persisted as npz
-(no pcap re-decode on reload — decode already happened once on the TPU);
-queries are Timeline binary searches instead of bucket scans.
+(decode already happened once on the TPU); queries are Timeline binary
+searches instead of bucket scans.  As a fallback, frames whose payload was
+dropped (no spill dir) or whose npz is missing can be re-decoded from
+their pcap byte offsets via a pipeline-provided `redecoder` — the
+reference's getFrame random-access contract (HDLParser.h:133,
+HDLParser.cxx:505-544), which makes "pcap + meta alone resumes a session"
+(HDLManager.cxx:442-467) hold without spilled payloads.
 """
 
 from __future__ import annotations
@@ -56,6 +61,11 @@ class FrameStore:
         self._wq: Optional[queue.Queue] = None
         self._writer: Optional[threading.Thread] = None
         self._async = async_spill and spill_dir is not None
+        # Per-frame pcap source (path, byte offset of the packet at or
+        # before the frame start) + a redecoder callback
+        # (source, start_us) -> FrameDict set by the owning pipeline.
+        self._sources: Dict[int, tuple] = {}
+        self.redecoder = None
 
     # --- background writer (HDLManager writer-thread parity) ----------------
 
@@ -92,9 +102,15 @@ class FrameStore:
 
     def add_frame(self, start_us: int, frame: FrameDict,
                   carpose_q: np.ndarray = None,
-                  carpose_t: np.ndarray = None) -> None:
+                  carpose_t: np.ndarray = None,
+                  source: Optional[tuple] = None) -> None:
+        """`source`: optional (pcap_path, byte_offset) of the packet at or
+        before this frame's start — enables payload re-decode (the
+        reference's (fileStartPos, skips) frame meta, HDLFrame.h:40-44)."""
         start_us = int(start_us)
         with self._lock:
+            if source is not None:
+                self._sources[start_us] = (str(source[0]), int(source[1]))
             self._clock += 1
             self._frames[start_us] = frame
             self._touch[start_us] = self._clock
@@ -152,6 +168,19 @@ class FrameStore:
                 self._touch[start_us] = self._clock
                 self._evict_if_needed()
             return frame
+        # Payload gone (dropped without spill, or npz missing after a
+        # partial checkpoint): re-decode from the pcap offset
+        # (prepareFrame -> HDLParser::getFrame, HDLManager.cxx:195-211).
+        with self._lock:
+            src = self._sources.get(start_us)
+        if src is not None and self.redecoder is not None:
+            frame = self.redecoder(src, start_us)
+            if frame is not None:
+                with self._lock:
+                    self._frames[start_us] = frame
+                    self._touch[start_us] = self._clock
+                    self._evict_if_needed()
+                return frame
         return None
 
     def get_frame_at(self, t_us: int) -> Optional[FrameDict]:
@@ -261,10 +290,18 @@ class FrameStore:
                   frames_dir: Optional[str] = None) -> None:
         self.spill_all(frames_dir)
         self._meta.save(path)
+        if self._sources:
+            ts = sorted(self._sources)
+            np.savez(path.replace(".npz", "") + "_sources.npz",
+                     times_us=np.asarray(ts, np.int64),
+                     offsets=np.asarray([self._sources[t][1] for t in ts],
+                                        np.int64),
+                     paths=np.asarray([self._sources[t][0] for t in ts]))
 
     def load_meta(self, path: str, spill_dir: Optional[str] = None) -> None:
         """Rebuild the index from a meta checkpoint; frame payloads resolve
-        from `spill_dir` (or this store's) on access."""
+        from `spill_dir` (or this store's) on access, falling back to pcap
+        re-decode when sources were checkpointed."""
         self._meta = Timeline.load(path)
         sd = spill_dir or self.spill_dir
         times, _ = self._meta.arrays()
@@ -273,3 +310,9 @@ class FrameStore:
                 p = os.path.join(sd, f"frame_{int(t)}.npz")
                 if os.path.exists(p):
                     self._spilled[int(t)] = p
+        spath = path.replace(".npz", "") + "_sources.npz"
+        if os.path.exists(spath):
+            data = np.load(spath, allow_pickle=False)
+            for t, off, pp in zip(data["times_us"], data["offsets"],
+                                  data["paths"]):
+                self._sources[int(t)] = (str(pp), int(off))

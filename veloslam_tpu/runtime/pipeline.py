@@ -71,7 +71,8 @@ class SlamPipeline:
         self.calib = (calib_mod.from_xml(sc.calibration_path)
                       if sc.calibration_path
                       else calib_mod.default_for(sc.model))
-        self.dcalib = DeviceCalib.from_host(self.calib)
+        self.dcalib = DeviceCalib.from_host(self.calib,
+                                            enabled=sc.enabled_lasers())
         self.track = PoseTrack()                 # INS prior track
         self.map = VoxelMap(self.cfg.map, spill_dir=spill_dir)
         self.frames = FrameStore(self.cfg.pipeline.frame_cache_capacity,
@@ -86,6 +87,10 @@ class SlamPipeline:
         self._carry = AssemblyCarry.init(sc.n_lasers,
                                          sc.max_firings_per_frame)
         self._open_start_abs: Optional[float] = None
+        self._open_frame_offset: Optional[int] = None  # pcap offset of the
+        # packet at/before the open frame's start (getFrame meta)
+        self._gps_base: Optional[int] = None   # grounded HDL hour base
+        self.frames.redecoder = self._redecode_frame
         self._last_ins: Optional[se3.Pose] = None
         self._last_est: Optional[se3.Pose] = None
         self._kf_count_at_last_close = 0
@@ -98,6 +103,15 @@ class SlamPipeline:
             "unknown_count": 0, "last_imu_status": None,
             "last_gps_solution": None, "last_gps_status": None,
             "last_diff_age": None,
+        }
+        # Sensor position-packet (port 8308) side channel: GPS grounding of
+        # the HDL hour clock + PPS health (the reference binds the port,
+        # HDLSource.cxx:484-485, but drops the packets at its length-1206
+        # gate, HDLSource.cxx:211).
+        self.gps_health = {
+            "position_count": 0, "grounded": False, "pps_status": None,
+            "last_fix_lat_deg": None, "last_fix_lon_deg": None,
+            "ground_correction_us": None,
         }
 
     # --- inputs -------------------------------------------------------------
@@ -121,8 +135,9 @@ class SlamPipeline:
 
     # --- ingest -------------------------------------------------------------
 
-    def process_packets(self, pkts: np.ndarray, times_us: np.ndarray) -> int:
-        """Feed a batch of packets; returns frames completed."""
+    def _decode_batch(self, pkts: np.ndarray, times_us: np.ndarray):
+        """Decode + dual-return filter + INS compensation of one batch.
+        Returns (dec, xyz_world, rel_s, anchor_us)."""
         sc = self.cfg.sensor
         pc = self.cfg.pipeline
         anchor = int(times_us[0])
@@ -147,6 +162,29 @@ class SlamPipeline:
                     per_packet=(pc.compensation == "per_packet"))
         else:
             xyz_w = dec.xyz
+        return dec, xyz_w, rel, anchor
+
+    @staticmethod
+    def _frame_dict(fb, k: int) -> Dict:
+        return {
+            "xyz": np.asarray(fb.xyz[k]),
+            "mask": np.asarray(fb.mask[k]),
+            "intensity": np.asarray(fb.intensity[k]),
+            "rel_s": np.asarray(fb.rel_s[k]),
+            "azimuth": np.asarray(fb.azimuth[k]),
+        }
+
+    def process_packets(self, pkts: np.ndarray, times_us: np.ndarray,
+                        offsets: Optional[np.ndarray] = None,
+                        pcap_path: Optional[str] = None) -> int:
+        """Feed a batch of packets; returns frames completed.
+
+        `offsets`/`pcap_path`: per-packet pcap byte offsets — when given,
+        each completed frame's FrameStore entry records the offset of the
+        packet at or before its start, enabling payload re-decode (the
+        reference's (fileStartPos, skips) meta, HDLFrame.h:40-44)."""
+        sc = self.cfg.sensor
+        dec, xyz_w, rel, anchor = self._decode_batch(pkts, times_us)
         carry_start = jnp.asarray(
             0.0 if self._open_start_abs is None
             else (self._open_start_abs - anchor) * 1e-6, jnp.float32)
@@ -155,31 +193,182 @@ class SlamPipeline:
                 dec, xyz_w, rel, self._carry, carry_start, model=sc.model,
                 n_beams=sc.n_lasers, max_firings=sc.max_firings_per_frame)
         n_done = int(n_done)
+        starts_np = np.asarray(starts)
+        rel_np = (times_us - anchor).astype(np.float64) * 1e-6
         for k in range(n_done):
-            start_us = int(anchor + float(starts[k]) * 1e6)
-            frame = {
-                "xyz": np.asarray(fb.xyz[k]),
-                "mask": np.asarray(fb.mask[k]),
-                "intensity": np.asarray(fb.intensity[k]),
-                "rel_s": np.asarray(fb.rel_s[k]),
-                "azimuth": np.asarray(fb.azimuth[k]),
-            }
+            start_us = int(anchor + float(starts_np[k]) * 1e6)
+            source = None
+            if offsets is not None and pcap_path is not None:
+                if k == 0 and self._open_frame_offset is not None:
+                    off = self._open_frame_offset
+                else:
+                    i = max(int(np.searchsorted(rel_np, starts_np[k],
+                                                side="right")) - 1, 0)
+                    off = int(offsets[i])
+                source = (pcap_path, off)
+            frame = self._frame_dict(fb, k)
             with self.timers.stage("frame"):
-                self._handle_frame(frame, start_us)
+                self._handle_frame(frame, start_us, source=source)
+        if offsets is not None and (n_done > 0
+                                    or self._open_frame_offset is None):
+            # The open frame began within THIS batch (a wrap completed the
+            # previous frame here) or this is the stream start; otherwise
+            # the open frame's first packet lives in an earlier batch and
+            # the recorded offset must be preserved.
+            i = max(int(np.searchsorted(rel_np, float(open_start),
+                                        side="right")) - 1, 0)
+            self._open_frame_offset = int(offsets[i])
         self._open_start_abs = anchor + float(open_start) * 1e6
         return n_done
+
+    def _redecode_frame(self, source, start_us: int) -> Optional[Dict]:
+        """Re-decode ONE frame's payload from its pcap byte offset — the
+        getFrame random-access contract (reference HDLParser.h:133,
+        HDLParser.cxx:505-544): seek, decode forward until the frame whose
+        start matches, return it.  Uses the live INS track for motion
+        compensation, so a resumed session reproduces the original frame.
+        """
+        from veloslam_tpu.io.pcap import PcapReader
+        from veloslam_tpu.runtime.odometry import packets_per_second
+
+        pcap_path, offset = source
+        sc = self.cfg.sensor
+        B = self.cfg.pipeline.packets_per_batch
+        per_rev = packets_per_second(sc.model) / (sc.rpm / 60.0)
+        need = int(per_rev * 2.5) + 64
+        pkts_l, times_l = [], []
+        with PcapReader(pcap_path) as r:
+            r.seek(int(offset))
+            for payload, t_us, _ in r:
+                if len(payload) != C.HDL_PACKET_BYTES:
+                    continue
+                pkts_l.append(payload)
+                times_l.append(t_us)
+                if len(pkts_l) >= need:
+                    break
+        if not pkts_l:
+            return None
+        arr = np.frombuffer(b"".join(pkts_l), np.uint8).reshape(
+            len(pkts_l), C.HDL_PACKET_BYTES)
+        times = np.asarray(times_l, np.int64)
+        if self._gps_base is not None:
+            gps = pk.decode_lidar_packets_np(arr)["gps_us"]
+            times = timesync.resolve_hour_stamps(gps, self._gps_base,
+                                                 ref_us=int(times[0]))
+        tail = len(arr) % B
+        if tail:
+            arr = np.concatenate(
+                [arr, pk.idle_lidar_packets(arr[-1], B - tail)])
+            times = np.concatenate(
+                [times, np.full(B - tail, times[-1], np.int64)])
+
+        # Local assembly state — never touches the live pipeline's carry.
+        # Candidates within 500 µs of the recorded start; the fresh-carry
+        # slot 0 may be a leading fragment of the previous revolution with
+        # a nearby start, so the fullest candidate wins.
+        carry = AssemblyCarry.init(sc.n_lasers, sc.max_firings_per_frame)
+        open_abs: Optional[float] = None
+        candidates = []
+        for s in range(0, len(arr), B):
+            dec, xyz_w, rel, anchor = self._decode_batch(
+                arr[s:s + B], times[s:s + B])
+            cs = jnp.asarray(0.0 if open_abs is None
+                             else (open_abs - anchor) * 1e-6, jnp.float32)
+            fb, n_done, starts, carry, open_start = assemble_frames(
+                dec, xyz_w, rel, carry, cs, model=sc.model,
+                n_beams=sc.n_lasers, max_firings=sc.max_firings_per_frame)
+            n_done = int(n_done)
+            starts_np = np.asarray(starts)
+            passed = False
+            for k in range(n_done):
+                f_start = anchor + float(starts_np[k]) * 1e6
+                if abs(f_start - start_us) < 500.0:
+                    candidates.append(self._frame_dict(fb, k))
+                elif f_start > start_us:
+                    passed = True
+            if passed:
+                break
+            open_abs = anchor + float(open_start) * 1e6
+        if not candidates:
+            return None
+        return max(candidates, key=lambda f: int(f["mask"].sum()))
+
+    def handle_position_packet(self, raw: bytes,
+                               clock: "timesync.HdlClock") -> None:
+        """One 512-byte position packet: PPS health + GPS grounding of the
+        HDL hour clock (io.packets.unpack_position_packet →
+        HdlClock.maybe_ground)."""
+        info = pk.unpack_position_packet(raw)
+        h = self.gps_health
+        h["position_count"] += 1
+        h["pps_status"] = info["pps_status_str"]
+        rmc = info["rmc"]
+        if rmc is None or not rmc["valid"]:
+            return
+        h["last_fix_lat_deg"] = rmc["lat_deg"]
+        h["last_fix_lon_deg"] = rmc["lon_deg"]
+        if clock.maybe_ground(info["us_into_hour"], rmc["utc_us"]):
+            h["grounded"] = True
+
+    def _ground_offline_times(self, pcap_path: str, pkts: np.ndarray,
+                              rec_times: np.ndarray) -> np.ndarray:
+        """Offline GPS grounding: when the pcap carries position packets
+        with a valid $GPRMC fix, resolve the LiDAR packets' µs-into-hour
+        stamps against GPS UTC instead of trusting capture timestamps
+        (which include transport/capture latency).  Falls back to the pcap
+        record times when no fix exists."""
+        from veloslam_tpu.io.pcap import read_position_packets
+        if len(pkts) == 0:
+            return rec_times
+        pos_pkts, _ = read_position_packets(pcap_path)
+        base = None
+        for raw in pos_pkts:
+            info = pk.unpack_position_packet(raw.tobytes())
+            h = self.gps_health
+            h["position_count"] += 1
+            h["pps_status"] = info["pps_status_str"]
+            rmc = info["rmc"]
+            if rmc is not None and rmc["valid"]:
+                h["last_fix_lat_deg"] = rmc["lat_deg"]
+                h["last_fix_lon_deg"] = rmc["lon_deg"]
+                if base is None:
+                    base = rmc["utc_us"] - info["us_into_hour"]
+                    h["grounded"] = True
+        if base is None:
+            return rec_times
+        gps = pk.decode_lidar_packets_np(pkts)["gps_us"]
+        resolved = timesync.resolve_hour_stamps(gps, base,
+                                                ref_us=int(rec_times[0]))
+        self._gps_base = int(resolved[0]) - int(gps[0])  # hour base incl.
+        # the ref_us hour shift, so re-decodes reproduce the same stamps
+        self.gps_health["ground_correction_us"] = int(
+            resolved[0] - rec_times[0])
+        return resolved
 
     def run_offline(self, pcap_path: str, ins_path: Optional[str] = None,
                     max_packets: Optional[int] = None) -> Dict:
         """The loadOffline equivalent (reference HDLManager.cxx:103-117):
-        drive the whole pcap through the pipeline."""
+        drive the whole pcap through the pipeline.  HDL timestamps are
+        GPS-grounded from the pcap's position packets when present."""
         if ins_path:
             self.feed_ins_txt(ins_path)
-        pkts, times, _ = read_lidar_packets(pcap_path, max_packets)
+        pkts, times, offs = read_lidar_packets(pcap_path, max_packets)
+        times = self._ground_offline_times(pcap_path, pkts, times)
         B = self.cfg.pipeline.packets_per_batch
-        n = (len(pkts) // B) * B
-        for s in range(0, n, B):
-            self.process_packets(pkts[s:s + B], times[s:s + B])
+        tail = len(pkts) % B
+        if tail:
+            # Pad the trailing partial batch with idle packets (no returns,
+            # frozen azimuth) so end-of-recording frames are not dropped
+            # and the compiled fixed-shape program is reused.
+            pkts = np.concatenate(
+                [pkts, pk.idle_lidar_packets(pkts[-1], B - tail)])
+            times = np.concatenate(
+                [times, np.full(B - tail, times[-1], np.int64)])
+            offs = np.concatenate(
+                [offs, np.full(B - tail, offs[-1], np.int64)])
+        for s in range(0, len(pkts), B):
+            self.process_packets(pkts[s:s + B], times[s:s + B],
+                                 offsets=offs[s:s + B], pcap_path=pcap_path)
         return self.results()
 
     def warmup(self, duration_s: float = 0.35) -> None:
@@ -242,14 +431,18 @@ class SlamPipeline:
         return None
 
     def run_online(self, lidar_port: int = None, ins_port: int = None,
+                   position_port: int = None,
                    origin_llh_deg=None, duration_s: Optional[float] = None,
                    idle_timeout_s: float = 2.0,
                    on_ready=None) -> Dict:
         """Live acquisition (startOnline equivalent, HDLManager.h:111):
-        UDP LiDAR + INS ingest until `duration_s` elapses or the stream
-        goes idle.  HDL µs-into-hour stamps resolve against the INS time
-        base when available (TimeSolver semantics, TimeSolver.cxx:33-49),
-        else the wall clock."""
+        UDP LiDAR + INS + position-packet ingest until `duration_s` elapses
+        or the stream goes idle.  HDL µs-into-hour stamps resolve against
+        GPS UTC when the sensor's position packets (port 8308, the second
+        port the reference binds, HDLSource.cxx:484-485) carry a valid
+        $GPRMC fix; otherwise against the INS time base when available
+        (TimeSolver semantics, TimeSolver.cxx:33-49), else the wall
+        clock."""
         import time as _time
 
         from veloslam_tpu import constants as C
@@ -260,6 +453,7 @@ class SlamPipeline:
 
         lidar_port = lidar_port or C.LIDAR_DATA_PORT
         ins_port = ins_port or C.INS_PORT
+        position_port = position_port or C.LIDAR_POSITION_PORT
         conv = InsConverter(origin_llh_deg)
         clock = timesync.HdlClock()
         B = self.cfg.pipeline.packets_per_batch
@@ -274,7 +468,9 @@ class SlamPipeline:
         # (InsPVA 104 B, RawINS 24 B, BestGPSPos 20 B) — variable receiver.
         with UdpReceiver(lidar_port, C.HDL_PACKET_BYTES) as hdl_rx, \
                 UdpReceiver(ins_port, pkmod.INSPVA_BYTES,
-                            variable=True) as ins_rx:
+                            variable=True) as ins_rx, \
+                UdpReceiver(position_port,
+                            C.POSITION_PACKET_BYTES) as pos_rx:
             if on_ready is not None:
                 on_ready()          # ports are bound; senders may start
             while True:
@@ -287,15 +483,20 @@ class SlamPipeline:
                         raw[:ln].tobytes(), conv)
                     if t_us is not None and first_ins_us is None:
                         first_ins_us = t_us
+                pos_pkts, _ = pos_rx.poll()
+                for raw in pos_pkts:
+                    self.handle_position_packet(raw.tobytes(), clock)
                 pkts, rx_times = hdl_rx.poll()
                 if len(pkts):
-                    # Resolve GPS µs-into-hour stamps to absolute time.
+                    # Resolve GPS µs-into-hour stamps to absolute time —
+                    # vectorized; the reference base is GPS grounding when
+                    # a position fix arrived, else INS, else wall clock.
                     fields = pkmod.decode_lidar_packets_np(pkts)
-                    resolved = np.empty(len(pkts), np.int64)
-                    for i, g in enumerate(fields["gps_us"]):
-                        ref = (first_ins_us if first_ins_us is not None
-                               else int(rx_times[i]))
-                        resolved[i] = clock.resolve(int(g), ref_time_us=ref)
+                    ref = (None if clock.grounded
+                           else (first_ins_us if first_ins_us is not None
+                                 else int(rx_times[0])))
+                    resolved = clock.resolve_batch(fields["gps_us"],
+                                                   ref_time_us=ref)
                     buf.append(pkts)
                     buf_times.append(resolved)
                     buffered += len(pkts)
@@ -306,7 +507,7 @@ class SlamPipeline:
                         buf = [allp[B:]]
                         buf_times = [allt[B:]]
                         buffered -= B
-                if len(pkts) or len(ins_pkts):
+                if len(pkts) or len(ins_pkts) or len(pos_pkts):
                     # Stamp AFTER any processing: batch compute time must
                     # not count toward the idle window, or a slow/first
                     # batch ends the session with packets still queued.
@@ -356,7 +557,8 @@ class SlamPipeline:
         msk[:len(pts)] = True
         return out, msk
 
-    def _handle_frame(self, frame: Dict, start_us: int) -> None:
+    def _handle_frame(self, frame: Dict, start_us: int,
+                      source: Optional[tuple] = None) -> None:
         rc = self.cfg.registration
         ins = self._ins_pose_at(start_us)
         frame_world = frame  # compensated into INS world frame (or sensor)
@@ -434,7 +636,7 @@ class SlamPipeline:
         # Bookkeeping.
         self.frames.add_frame(start_us, frame_world,
                               carpose_q=np.asarray(T_est.q),
-                              carpose_t=est_t)
+                              carpose_t=est_t, source=source)
         self.trajectory.append(FrameResult(
             start_us=start_us, pose_q=np.asarray(T_est.q), pose_t=est_t,
             n_points=int(mask.sum()), n_matched=n_matched,
@@ -598,6 +800,7 @@ class SlamPipeline:
             "map_patches": self.map.n_patches,
             "timing": self.timers.summary(),
             "ins_health": dict(self.ins_health),
+            "gps_health": dict(self.gps_health),
         }
 
     def save_checkpoint(self, dirname: str) -> None:
