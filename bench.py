@@ -1,25 +1,32 @@
-"""Benchmark: HDL-32 full-SLAM throughput (frames/s per chip).
+"""Benchmarks: bulk odometry throughput + FULL SLAM pipeline throughput.
 
-Measures the production bulk-replay fast path
-(runtime.odometry.odometry_step_batched) as ONE jitted device program per
-16384-packet batch (≈ 90.6 HDL-32 revolutions): packet decode → INS
-motion compensation → frame assembly → vmapped scan-to-map point-to-plane
-GICP (96 frame slots × 32768 points × 16 Gauss-Newton iterations against
-the rolling 32768-voxel local map) → batched map merge with decay.
-frames/s = frames_per_batch / t_step.  Accuracy at this batch size is
-validated on simulated drives vs ground truth: ATE 0.019 m over an
-18.5 s drive at 16384/96 (sequential 512-pkt path: 0.42 m on a 9 s
-drive) — INS priors absorb within-batch motion and the 64-sample INS
-window is evenly subsampled across the batch.
-For live low-latency use the streaming path feeds 512-packet batches;
-this config is the offline/bulk-processing rate.
+Two configs, named honestly:
 
-vs_baseline compares against a single-CPU-core run of the same program
-(BASELINE.md target: >10x single-CPU-core frames/s per chip), measured
-once with `taskset -c 0 python bench.py --cpu-reference` (single-threaded
-XLA) on this machine and recorded in REFERENCE_CPU_FPS.
+1. `hdl32_bulk_odometry_frames_per_s_per_chip` (headline `value`): the
+   production bulk-replay odometry path (runtime.odometry.
+   odometry_step_batched) as ONE jitted device program per 16384-packet
+   batch (≈90.6 HDL-32 revolutions): decode → INS motion compensation →
+   frame assembly → vmapped scan-to-map point-to-plane GICP (96 slots ×
+   32768 pts × 16 GN iters vs the rolling 32768-voxel map) → map merge
+   with decay + rebase check.  No keyframes/closures — pure odometry.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+2. `full_slam_frames_per_s` (in `extra`): END-TO-END
+   SlamPipeline.run_offline_batched + finalize() on a simulated loop
+   drive with drifting INS — device-resident keyframe ring + scan-context
+   descriptors in the same program, then loop-closure proposal
+   (descriptor matmuls) + batched GICP verification + pose-graph solve +
+   tiled-map rebuild + per-frame trajectory correction.  Wall-clock of
+   everything after the pcap is in memory.
+
+`extra.ab` carries the A/B of the Pallas fused normal equations and the
+dense O(1) correspondence index on this backend (ms per bulk batch).
+
+vs_baseline compares the bulk metric against a single-CPU-core run of the
+same program (BASELINE.md target: >10x single-CPU-core frames/s), measured
+with `taskset -c 0 python bench.py --cpu-reference` (single-threaded XLA)
+and recorded in REFERENCE_CPU_FPS.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import argparse
@@ -30,12 +37,11 @@ import time
 
 import numpy as np
 
-# Single-CPU-core frames/s of the same fused SLAM step, measured with:
+# Single-CPU-core frames/s of the same bulk step, measured with:
 #   taskset -c 0 env XLA_FLAGS="--xla_cpu_multi_thread_eigen=false \
 #     intra_op_parallelism_threads=1" JAX_PLATFORMS=cpu \
 #     python bench.py --cpu-reference
-# on this container's host CPU (see BASELINE.md).  Measured for the
-# 16384-packet / 96-slot config (51.3 s/batch single-core).
+# on this container's host CPU (see BASELINE.md), 16384-pkt/96-slot config.
 REFERENCE_CPU_FPS = 1.766
 
 BATCH_PACKETS = 16384    # ≈ 90.6 HDL-32 revolutions per dispatched program
@@ -90,21 +96,23 @@ def _block(out):
             leaf.block_until_ready()
 
 
-def run_bench(iters=8, warmup=2, batch_packets=BATCH_PACKETS,
-              max_frames_batch=MAX_FRAMES_BATCH):
+def run_bulk(iters=8, warmup=2, batch_packets=BATCH_PACKETS,
+             max_frames_batch=MAX_FRAMES_BATCH, use_pallas=False,
+             use_dense=False, inputs=None):
     import jax.numpy as jnp
 
     from veloslam_tpu.runtime import odometry as odo
 
     frames_per_batch = batch_packets / HDL32_PACKETS_PER_SECOND * 10.0
     (pkts, calib, rel_s, track_rel, track_q, track_t,
-     track_v) = _build_inputs(batch_packets=batch_packets)
+     track_v) = inputs or _build_inputs(batch_packets=batch_packets)
     state = odo.init_state(32, map_capacity=MAP_CAPACITY)
     zero = jnp.asarray(0.0, jnp.float32)
     step = functools.partial(
         odo.odometry_step_batched, model="hdl32", n_beams=32,
         reg_points=REG_POINTS, reg_iterations=REG_ITERATIONS,
-        max_frames_batch=max_frames_batch)
+        max_frames_batch=max_frames_batch, use_pallas=use_pallas,
+        use_dense=use_dense)
 
     def once():
         # Fixed pre-built state: steady-state per-batch cost, no
@@ -123,30 +131,124 @@ def run_bench(iters=8, warmup=2, batch_packets=BATCH_PACKETS,
     return frames_per_batch / t_step, t_step
 
 
+def run_full_slam(duration_s=12.0, batch=16384):
+    """End-to-end full SLAM: run_offline_batched + finalize on a loop
+    drive with drifting INS (closures must fire).  Returns a metrics dict;
+    wall time covers everything after packets are in host memory (the
+    second run — jit cache warm — is the steady-state number)."""
+    import tempfile
+
+    from veloslam_tpu.config import GraphConfig, SlamConfig
+    from veloslam_tpu.io import packets as pkmod
+    from veloslam_tpu.io import simulate as sim
+    from veloslam_tpu.runtime.evaluate import ate, interpolate_positions
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    d = tempfile.mkdtemp()
+    seq = sim.generate_sequence(
+        duration_s=duration_s, model="hdl32", seed=3,
+        world=sim.World.demo(3, extent=40.0, n_posts=40, n_walls=16),
+        trajectory=sim.circle_trajectory(radius=15.0, speed=8.0))
+    paths = sim.write_sequence(seq, d, name="bench")
+    ins = pkmod.read_ins_txt(paths["ins"])
+    ts = (ins["t_us"] - ins["t_us"][0]) * 1e-6
+    pkmod.write_ins_txt(paths["ins"], ins["t_us"],
+                        ins["pos_xy"] + np.stack(
+                            [np.zeros_like(ts), 1.0 * ts], -1),
+                        np.deg2rad(ins["yaw_deg"]), speed=ins["speed"])
+
+    def cfg():
+        return SlamConfig(graph=GraphConfig(loop_closure_min_gap=12,
+                                            sc_min_score=0.55))
+
+    def run():
+        pipe = SlamPipeline(cfg())
+        t0 = time.perf_counter()
+        pipe.run_offline_batched(paths["pcap"], paths["ins"], batch=batch)
+        res = pipe.finalize()
+        return res, time.perf_counter() - t0
+
+    run()                      # warm the jit cache
+    res, wall = run()
+    ref = interpolate_positions(res["times_us"], seq["ins_t_us"],
+                                seq["ins_pos"])
+    m = ate(res["positions"][:, :2], ref[:, :2], align=False)
+    return {
+        "frames_per_s": round(res["n_frames"] / wall, 1),
+        "wall_s": round(wall, 3),
+        "n_frames": res["n_frames"],
+        "n_keyframes": res["n_keyframes"],
+        "n_closures": res["n_closures"],
+        "map_patches": res["map_patches"],
+        "ate_rmse_m": round(m["rmse"], 4),
+        "x_realtime": round(res["n_frames"] / wall / 10.0, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-reference", action="store_true",
                     help="measure the single-core CPU reference number")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="bulk + A/B only")
+    ap.add_argument("--skip-ab", action="store_true")
     args = ap.parse_args()
     if args.cpu_reference:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        fps, t_step = run_bench(iters=3, warmup=1)
+        fps, t_step = run_bulk(iters=3, warmup=1)
         print(f"# cpu reference: {fps:.3f} frames/s "
               f"({t_step*1e3:.1f} ms/batch)")
         return 0
-    fps, t_step = run_bench()
+
+    inputs = _build_inputs()
+    fps, t_step = run_bulk(inputs=inputs)
+    extra = {"bulk_ms_per_batch": round(t_step * 1e3, 3)}
+
+    if not args.skip_ab:
+        # A/B: fused-Pallas normal equations and dense O(1) index, same
+        # program otherwise (recorded per backend so the default can be
+        # chosen from a committed measurement).
+        import jax
+        extra["ab"] = {"xla_searchsorted_ms": round(t_step * 1e3, 3)}
+        try:
+            _, t_dense = run_bulk(iters=4, warmup=2, use_dense=True,
+                                  inputs=inputs)
+            extra["ab"]["dense_index_ms"] = round(t_dense * 1e3, 3)
+        except Exception as e:         # record, never fail the bench
+            extra["ab"]["dense_index_ms"] = f"error: {e}"[:200]
+        if jax.default_backend() == "tpu":
+            # pallas interpret mode (non-TPU) is orders slower — only
+            # meaningful compiled on the real chip
+            try:
+                _, t_pallas = run_bulk(iters=4, warmup=2, use_pallas=True,
+                                       inputs=inputs)
+                extra["ab"]["pallas_fused_ms"] = round(t_pallas * 1e3, 3)
+            except Exception as e:
+                extra["ab"]["pallas_fused_ms"] = f"error: {e}"[:200]
+
+    if not args.skip_full:
+        extra["full_slam"] = run_full_slam()
+        extra["full_slam_frames_per_s"] = extra["full_slam"]["frames_per_s"]
+
     result = {
-        "metric": "hdl32_full_slam_frames_per_s_per_chip",
+        "metric": "hdl32_bulk_odometry_frames_per_s_per_chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_CPU_FPS, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
-    print(f"# fused SLAM step ({BATCH_PACKETS} pkts = "
+    print(f"# bulk odometry ({BATCH_PACKETS} pkts = "
           f"{FRAMES_PER_BATCH:.1f} frames, {MAX_FRAMES_BATCH} reg slots x "
           f"{REG_POINTS} pts x {REG_ITERATIONS} GN iters): "
           f"{t_step*1e3:.2f} ms/batch", file=sys.stderr)
+    if "full_slam" in extra:
+        fs = extra["full_slam"]
+        print(f"# full SLAM (keyframes+closures+graph+map): "
+              f"{fs['frames_per_s']} frames/s = {fs['x_realtime']}x "
+              f"realtime, ATE {fs['ate_rmse_m']} m, "
+              f"{fs['n_closures']} closures", file=sys.stderr)
     return 0
 
 

@@ -67,3 +67,72 @@ def test_two_process_sharded_registration(tmp_path):
     dq = abs(float(np.dot(res["q"], res["true_q"])))
     assert dq > 0.99999, (res["q"], res["true_q"])
     assert res["n_matched"] > 1000
+
+
+_SESSION_WORKER = os.path.join(os.path.dirname(__file__),
+                               "multihost_session_worker.py")
+
+
+def test_two_process_slam_session(tmp_path):
+    """The full SLAM SESSION across two processes (configs[4] as a
+    pipeline, not a kernel demo): simulated drive in, map tiles
+    partitioned by dist.tile_owner, ROI targets assembled globally,
+    registration via the shard_map kernel, scan updates written only to
+    owned tiles.  Both processes must produce the identical trajectory,
+    matching a single-process run; tile ownership must be disjoint."""
+    from veloslam_tpu.config import (PipelineConfig, RegistrationConfig,
+                                     SensorConfig, SlamConfig)
+    from veloslam_tpu.io import simulate as sim
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    seq = sim.generate_sequence(duration_s=1.0, model="hdl32", seed=21,
+                                world=sim.World.demo(9))
+    sim_paths = sim.write_sequence(seq, str(tmp_path), name="mh")
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(_SESSION_WORKER))
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, _SESSION_WORKER, str(pid), "2", str(port),
+         str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    r0 = np.load(tmp_path / "session_p0.npz")
+    r1 = np.load(tmp_path / "session_p1.npz")
+    assert r0["positions"].shape[0] >= 5
+    # no leader: both processes computed the identical trajectory
+    np.testing.assert_array_equal(r0["times_us"], r1["times_us"])
+    np.testing.assert_allclose(r0["positions"], r1["positions"], atol=1e-4)
+    assert float(r0["registered_fraction"]) > 0.7
+
+    # disjoint tile ownership matching the hash
+    t0 = {tuple(t) for t in r0["tiles"]}
+    t1 = {tuple(t) for t in r1["tiles"]}
+    assert not (t0 & t1), (t0, t1)
+    for tiles, pid in ((t0, 0), (t1, 1)):
+        for tx, ty in tiles:
+            assert int(tile_owner(tx, ty, 2)) == pid
+
+    # single-process oracle: same pipeline config, plain SlamPipeline
+    cfg = SlamConfig(
+        sensor=SensorConfig(model="hdl32"),
+        pipeline=PipelineConfig(packets_per_batch=128),
+        registration=RegistrationConfig(max_points=16384,
+                                        max_iterations=8))
+    oracle = SlamPipeline(cfg)
+    ores = oracle.run_offline(sim_paths["pcap"], sim_paths["ins"])
+    np.testing.assert_array_equal(r0["times_us"], ores["times_us"])
+    d = np.linalg.norm(r0["positions"] - ores["positions"], axis=1)
+    assert d.max() < 0.05, d.max()
+    # the union of owned tiles covers the oracle's map
+    oracle_tiles = {t for t in oracle.map._patches} | \
+        {t for t in oracle.map._spilled}
+    assert (t0 | t1) == oracle_tiles, (t0 | t1, oracle_tiles)

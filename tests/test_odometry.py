@@ -148,3 +148,66 @@ def test_streaming_run_grows_trajectory_capacity(drive):
                   batch=256)
     assert res["n_frames"] >= 8
     assert np.all(np.diff(res["times_us"]) > 0)
+
+
+def test_unbounded_drive_rebases_rolling_map():
+    """A straight drive crossing the +/-512 m packed-key window must keep
+    registering: the rolling map re-keys itself around the vehicle
+    (voxel.rebase_grid).  Before the rebase existed, every map update
+    beyond the window silently dropped and the tail degraded to raw INS
+    (here: drifting INS, so the tail error would exceed ~1 m)."""
+    speed = 40.0
+    dur = 16.5                                  # 660 m > 512 m window
+    rng = np.random.default_rng(11)
+    n_posts = 90
+    posts = np.column_stack([
+        rng.uniform(-30, speed * dur + 60, n_posts),
+        np.where(rng.uniform(size=n_posts) < 0.5, -1, 1)
+        * rng.uniform(4.0, 25.0, n_posts),
+        rng.uniform(0.2, 0.5, n_posts),
+        np.zeros(n_posts),
+        rng.uniform(4.0, 9.0, n_posts)])
+    # continuous walls on BOTH sides so the lateral drift direction is
+    # well-observed everywhere along the corridor
+    walls = []
+    for k in range(18):
+        x0 = -20 + k * 40.0
+        for side in (-1, 1):
+            walls.append([x0, side * (16.0 + (k % 3)), x0 + 32.0,
+                          side * (20.0 + (k % 3)), 0.0, 5.0])
+    world = sim.World(posts=posts, walls=np.asarray(walls))
+    seq = sim.generate_sequence(
+        duration_s=dur, model="hdl32", seed=11, world=world,
+        trajectory=sim.straight_trajectory(speed=speed))
+
+    drift_rate = 0.3
+    odo = StreamingOdometry(DeviceCalib.from_host(calibration.hdl32()),
+                            reg_iterations=8, batched=True)
+    # batch ~0.3 s of data: within a batch all frames register against the
+    # batch-START map, so drift correction chains only across batches —
+    # large batches are for drift-free INS replay (see odometry module doc)
+    res = odo.run(seq["packets"], seq["pkt_times_us"],
+                  _track(seq, drift_rate), batch=512)
+    assert res["n_frames"] >= 150
+    ref = interpolate_positions(res["times_us"], seq["ins_t_us"],
+                                seq["ins_pos"])
+    err = np.linalg.norm(res["positions"][:, :2] - ref[:, :2], axis=1)
+    x = ref[:, 0]
+    tail = x > 520.0          # beyond the original ±512 m packed-key window
+    mid = (x > 280.0) & (x <= 500.0)
+    assert tail.sum() > 20 and mid.sum() > 20
+    rms = lambda e: float(np.sqrt(np.mean(e ** 2)))
+    # Rolling-map odometry under continuous INS drift leaks a fraction of
+    # the drift everywhere (it anchors to its own past estimates); the
+    # REBASE regression signal is the tail: without it, registration dies
+    # past the window and the tail error GROWS at the full drift rate
+    # toward raw INS.  With it, the tail behaves like the middle.
+    t_tail = x[tail] / speed
+    slope = float(np.polyfit(t_tail, err[tail], 1)[0])   # m/s of growth
+    assert slope < 0.5 * drift_rate, (
+        slope, "tail error grows at drift rate — rebase did not happen?")
+    assert rms(err[tail]) < rms(err[mid]) * 1.5 + 0.15, (
+        rms(err[tail]), rms(err[mid]))
+    # and nowhere near raw INS (drift reaches ~5 m by the end)
+    assert rms(err[tail]) < 0.55 * rms(drift_rate * t_tail), (
+        rms(err[tail]))

@@ -290,3 +290,47 @@ def test_register_batch_matches_sequential(world):
                                   share_target=False)
     np.testing.assert_allclose(np.asarray(stacked.pose.t),
                                np.asarray(batched.pose.t), atol=1e-5)
+
+
+def test_rebase_grid_preserves_statistics():
+    """rebase_grid re-keys the window around a new center: surviving
+    voxels keep exact stats/world coords and remain binary-searchable;
+    voxels leaving the window are dropped."""
+    import jax.numpy as jnp
+
+    from veloslam_tpu.registration import voxel as vx
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-40, 40, (8192, 3)).astype(np.float32)
+    mask = jnp.ones(8192, bool)
+    g = vx.build_grid(jnp.asarray(pts), mask, np.zeros(3), 1.0,
+                      capacity=4096)
+    new_center = jnp.asarray([500.0, 0.0, 0.0], jnp.float32)
+    r = vx.rebase_grid(g, new_center)
+    # new origin voxel-aligned at the requested center
+    np.testing.assert_allclose(np.asarray(r.origin), [500.0, 0, 0])
+    # keys sorted, no duplicates among occupied
+    keys = np.asarray(r.keys)
+    occ = keys != vx.INVALID_KEY
+    assert np.all(np.diff(keys) >= 0)
+    assert len(np.unique(keys[occ])) == occ.sum()
+    # voxels at x in [-40, -13) fall outside the new +/-512 window around
+    # x=500 and must be dropped; the rest survive with identical stats
+    om, oc = np.asarray(g.mean), np.asarray(g.count)
+    keep = (np.asarray(g.keys) != vx.INVALID_KEY) & (om[:, 0] >= -12.0)
+    drop = (np.asarray(g.keys) != vx.INVALID_KEY) & (om[:, 0] < -13.0)
+    assert occ.sum() == keep.sum()
+    rm = np.asarray(r.mean)[occ]
+    # match survivors by sorted mean signature
+    a = np.sort(om[keep], axis=0)
+    b = np.sort(rm, axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    assert np.isclose(np.asarray(r.count).sum(), oc[keep].sum())
+    # lookups against the rebased grid hit the same Gaussians
+    q = om[keep][:100]
+    idx = np.asarray(vx.lookup(
+        r, vx.pack_keys(jnp.asarray(q), jnp.ones(100, bool), r.origin,
+                        r.voxel_size)))
+    assert np.all(idx >= 0)
+    np.testing.assert_allclose(np.asarray(r.mean)[idx], q, atol=1e-5)
+    assert drop.sum() > 0          # the fixture really crossed the window

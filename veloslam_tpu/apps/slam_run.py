@@ -50,10 +50,17 @@ def main(argv=None) -> int:
                     help="bulk odometry-only fast path: all frames of a "
                          "large packet batch register in one device "
                          "program (no keyframes/loop closure/map "
-                         "patches) — the bench.py configuration; use for "
-                         "high-throughput offline replay")
+                         "patches); use for high-throughput odometry "
+                         "replay")
+    ap.add_argument("--batched", action="store_true",
+                    help="FULL SLAM at bulk-replay rate: device-resident "
+                         "keyframe ring + scan-context descriptors in the "
+                         "odometry program, then loop closure + graph "
+                         "solve + map rebuild at finalize "
+                         "(SlamPipeline.run_offline_batched)")
     ap.add_argument("--batch", type=int, default=8192,
-                    help="packets per device dispatch in --fast mode")
+                    help="packets per device dispatch "
+                         "(--fast / --batched modes)")
     args = ap.parse_args(argv)
 
     if args.platform == "cpu":
@@ -136,6 +143,21 @@ def main(argv=None) -> int:
         print(f"fast path: {res['n_frames']} frames in {wall:.2f}s "
               f"({res['n_frames']/max(wall,1e-9):,.0f} frames/s, "
               f"batch={args.batch}, slots={slots})")
+    elif args.batched:
+        import time as _time
+        t0 = _time.perf_counter()
+        pipe.run_offline_batched(pcap_path, ins_path,
+                                 max_packets=args.max_packets,
+                                 batch=args.batch)
+        res = pipe.finalize()
+        wall = _time.perf_counter() - t0
+        res["timing"] = dict(res["timing"], wall_s=round(wall, 3),
+                             frames_per_s=round(
+                                 res["n_frames"] / max(wall, 1e-9), 1))
+        print(f"batched full SLAM: {res['n_frames']} frames, "
+              f"{res['n_keyframes']} keyframes, {res['n_closures']} "
+              f"closures, {res['n_landmarks']} landmarks in {wall:.2f}s "
+              f"({res['n_frames']/max(wall,1e-9):,.0f} frames/s)")
     else:
         res = pipe.run_offline(pcap_path, ins_path,
                                max_packets=args.max_packets)

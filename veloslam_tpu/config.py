@@ -98,6 +98,14 @@ class RegistrationConfig:
     min_planarity: float = 0.35
     # Points per scan fed to registration (subsampled, static shape).
     max_points: int = 32768
+    # Health gates: a registration result is trusted only with at least
+    # this many correspondences (points for gicp/ndt, voxels for d2d).
+    min_matched_points: int = 500
+    min_matched_voxels: int = 50
+    # Kernel variants (A/B'd per backend by bench.py): fused-Pallas
+    # normal equations; dense O(1) correspondence index.
+    use_pallas: bool = False
+    use_dense_index: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +130,30 @@ class GraphConfig:
     max_keyframes: int = 1024             # static bound for jitted solver
     gn_iterations: int = 8
     damping: float = 1e-6
+    # Appearance-based (scan-context) loop-closure proposal: drift-
+    # independent, complements the position-radius channel above (which
+    # misses revisits once accumulated drift exceeds the radius).
+    use_scan_context: bool = True
+    sc_min_score: float = 0.6             # cosine similarity gate
+    # Verification budget per sweep (geometric GICP verify is the cost);
+    # candidates beyond the cap stay pending and retry next sweep.
+    max_closure_candidates_per_sweep: int = 8
+    keyframes_per_closure_sweep: int = 10  # sweep cadence (keyframes)
+    # Edge information diagonals (rot×3, trans×3).  ANISOTROPY MATTERS:
+    # INS attitude is far more trustworthy than drifting position, and
+    # with rot_info ≈ trans_info the solver prefers to bend the chain
+    # with cheap rotations instead of removing translation drift —
+    # measured: a 18.8 m drifted loop leaves an 11 m mid-loop bow at
+    # isotropic info, 0.1 m at rot=1e6 (tests/test_fullslam.py).
+    odom_edge_info: Tuple[float, ...] = (1e6,) * 3 + (100.0,) * 3
+    closure_edge_info: Tuple[float, ...] = (1e4,) * 3 + (500.0,) * 3
+    # Landmark layer: post detections per keyframe become pose-landmark
+    # observations, Schur-eliminated in the solver (the landmark-map
+    # story the reference's MapObjects layer anticipates but never runs).
+    use_landmarks: bool = True
+    landmark_cluster_radius_m: float = 1.2
+    landmark_min_observations: int = 2
+    landmark_obs_info: float = 25.0
 
 
 @dataclasses.dataclass(frozen=True)

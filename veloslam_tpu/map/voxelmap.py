@@ -153,10 +153,13 @@ class VoxelMap:
 
     # --- scan integration --------------------------------------------------
 
-    def integrate_grid(self, grid: vx.VoxelGrid, sign: float = 1.0) -> None:
+    def integrate_grid(self, grid: vx.VoxelGrid, sign: float = 1.0,
+                       tile_filter=None) -> None:
         """Merge a device-built scan VoxelGrid into the map tiles.
         With sign=-1 (count already negated by the caller) the merge
-        subtracts statistics and prunes emptied voxels."""
+        subtracts statistics and prunes emptied voxels.  `tile_filter`
+        ((tx, ty) -> bool) keeps only accepted tiles — the multi-host
+        ownership hook (parallel.session)."""
         occ = np.asarray(grid.occupied)
         if not occ.any():
             return
@@ -185,13 +188,17 @@ class VoxelMap:
         tiles = np.floor(coords[:, :2] / vox_per_tile).astype(np.int64)
         uniq, inv = np.unique(tiles, axis=0, return_inverse=True)
         for i, (tx, ty) in enumerate(uniq):
+            if tile_filter is not None and not tile_filter(int(tx),
+                                                           int(ty)):
+                continue
             sel = inv == i
             patch = self._materialize((int(tx), int(ty)), create=True)
             patch.merge(coords[sel], count[sel], s1[sel], s2[sel],
                         prune=(sign < 0))
 
     def integrate_points(self, pts_world: np.ndarray, mask: np.ndarray,
-                         center: np.ndarray, sign: float = 1.0) -> None:
+                         center: np.ndarray, sign: float = 1.0,
+                         tile_filter=None) -> None:
         """Convenience: device-build a grid around `center`, then integrate.
 
         The grid origin is snapped to the voxel lattice so packed keys map
@@ -205,7 +212,7 @@ class VoxelMap:
                              vs, capacity=self.cfg.voxels_per_patch)
         if sign != 1.0:
             grid = grid._replace(count=grid.count * sign)
-        self.integrate_grid(grid, sign=sign)
+        self.integrate_grid(grid, sign=sign, tile_filter=tile_filter)
 
     def deintegrate_points(self, pts_world: np.ndarray, mask: np.ndarray,
                            center: np.ndarray) -> None:

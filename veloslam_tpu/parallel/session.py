@@ -1,0 +1,118 @@
+"""Multi-host SLAM session: the full pipeline over a tile-partitioned map.
+
+Everything distributed in this repo composes here: each process owns the
+map tiles hashing to it (dist.tile_owner), ROI registration targets
+assemble globally from the owners' rows (dist.assemble_global_plane_grid)
+and register via the shard_map kernel (sharded.register_sharded, one 6×6
+psum per GN iteration), and scan integration writes only owned tiles.
+Host-side control flow (keyframes, loop closure, graph solve) is
+deterministic and replicated, so every process computes the identical
+trajectory — there is no leader.
+
+The reference has no distributed execution of any kind (SURVEY.md §2b);
+this is the configs[4] "multi-host SLAM session", not just a kernel demo.
+Run under `dist.init_distributed` (Gloo between CPU processes in tests,
+ICI/DCN on TPU pods).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from veloslam_tpu.config import SlamConfig
+from veloslam_tpu.core import se3
+from veloslam_tpu.parallel import dist, sharded
+from veloslam_tpu.registration import gicp
+from veloslam_tpu.registration import voxel as vx
+from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+
+class DistributedSlamSession(SlamPipeline):
+    """SlamPipeline whose map is partitioned across processes.
+
+    Overrides exactly two primitives of the per-frame loop:
+      * `_integrate_scan` keeps only this process's owned tiles;
+      * `_register_frame` assembles the global ROI from every process's
+        owned rows and runs the map-sharded registration kernel.
+    Everything else (decode, compensation, keyframes, loop closure, graph,
+    checkpointing) is inherited unchanged and runs replicated.
+    """
+
+    def __init__(self, config: Optional[SlamConfig] = None,
+                 spill_dir: Optional[str] = None, mesh=None):
+        super().__init__(config, spill_dir=spill_dir)
+        self.pid = dist.process_index()
+        self.n_procs = dist.process_count()
+        self.mesh = mesh if mesh is not None else dist.global_mesh(
+            data_axis=1)
+
+    # --- ownership -----------------------------------------------------------
+
+    def owns_tile(self, tx: int, ty: int) -> bool:
+        return int(dist.tile_owner(tx, ty, self.n_procs)) == self.pid
+
+    def _integrate_scan(self, pts_world, mask, center, map_obj=None,
+                        sign: float = 1.0) -> None:
+        (map_obj or self.map).integrate_points(
+            pts_world, mask, center=center, sign=sign,
+            tile_filter=self.owns_tile)
+
+    # --- globally-sharded registration ----------------------------------------
+
+    def _roi_rows(self, x: float, y: float):
+        """This process's owned ROI rows as host numpy (padded to the
+        common capacity) + the deterministic shared origin.  Empty owned
+        content still yields full-capacity INVALID rows so the global
+        assembly has equal shard sizes."""
+        rc = self.cfg.registration
+        cap = self.cfg.map.voxels_per_patch
+        vs = self.cfg.map.voxel_size
+        origin = np.array([np.floor(x / vs) * vs, np.floor(y / vs) * vs,
+                           0.0], np.float32)
+        roi = self.map.roi_grid(x, y, capacity=cap)
+        if roi is None:
+            rows = [np.full(cap, vx.INVALID_KEY, np.int32),
+                    np.zeros(cap, np.float32),
+                    np.zeros((cap, 3), np.float32),
+                    np.zeros((cap, 3, 3), np.float32),
+                    np.zeros((cap, 3), np.float32),
+                    np.zeros(cap, bool)]
+            return rows, origin, np.float32(vs)
+        pg = gicp.plane_grid_from(roi, min_points=rc.min_points_per_voxel,
+                                  min_planarity=rc.min_planarity)
+        rows = [np.asarray(pg.grid.keys), np.asarray(pg.grid.count),
+                np.asarray(pg.grid.mean), np.asarray(pg.grid.cov),
+                np.asarray(pg.normal), np.asarray(pg.usable)]
+        return rows, np.asarray(roi.origin), np.asarray(roi.voxel_size)
+
+    def _register_frame(self, pts, mask, T_prior: se3.Pose):
+        rc = self.cfg.registration
+        prior_t = np.asarray(T_prior.t)
+        rows, origin, voxel_size = self._roi_rows(float(prior_t[0]),
+                                                  float(prior_t[1]))
+        with self.timers.stage("register"):
+            target = dist.assemble_global_plane_grid(
+                self.mesh, rows, origin, voxel_size)
+            g_pts = dist.replicate(self.mesh,
+                                   [np.asarray(pts, np.float32)])[0]
+            g_mask = dist.replicate(self.mesh, [np.asarray(mask)])[0]
+            res = sharded.register_sharded(
+                self.mesh, g_pts, g_mask, target, T_prior,
+                iterations=rc.max_iterations, damping=rc.damping,
+                huber_delta=rc.huber_delta,
+                max_dist=rc.max_correspondence_dist)
+        if int(res.n_matched) == 0:
+            return None            # no map content anywhere yet
+        return gicp.GicpResult(
+            pose=se3.Pose(jnp.asarray(np.asarray(res.pose.q)),
+                          jnp.asarray(np.asarray(res.pose.t))),
+            n_matched=res.n_matched, mean_error=res.mean_error,
+            iterations=res.iterations)
+
+    # --- diagnostics -----------------------------------------------------------
+
+    def owned_tiles(self):
+        return sorted(set(self.map._patches) | set(self.map._spilled))

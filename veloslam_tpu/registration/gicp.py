@@ -184,7 +184,8 @@ def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
 @functools.partial(jax.jit, static_argnames=("iterations", "use_pallas",
                                               "share_target"))
 def register_batch(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
-                   init_poses: se3.Pose, *, iterations: int = 16,
+                   init_poses: se3.Pose, dense=None, *,
+                   iterations: int = 16,
                    damping: float = 1e-6, huber_delta: float = 0.5,
                    max_dist: float = 2.0, use_pallas: bool = False,
                    share_target: bool = True) -> GicpResult:
@@ -204,14 +205,17 @@ def register_batch(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
       mask: (F, P) validity.
       target: one shared PlaneGrid, or a stacked (F, ...) PlaneGrid.
       init_poses: Pose with (F, 4) / (F, 3) leaves.
+      dense: optional shared voxel.DenseIndex for the target (O(1)
+        correspondence gathers; share_target only).
     Returns a GicpResult with a leading F axis on every field.
     """
-    fn = functools.partial(register, iterations=iterations, damping=damping,
-                           huber_delta=huber_delta, max_dist=max_dist,
-                           use_pallas=use_pallas)
+    def fn(p, m, t, i, d):
+        return register(p, m, t, i, iterations=iterations, damping=damping,
+                        huber_delta=huber_delta, max_dist=max_dist,
+                        use_pallas=use_pallas, dense=d)
     t_axes = None if share_target else 0
-    return jax.vmap(fn, in_axes=(0, 0, t_axes, 0))(
-        pts, mask, target, init_poses)
+    return jax.vmap(fn, in_axes=(0, 0, t_axes, 0, None))(
+        pts, mask, target, init_poses, dense)
 
 
 def stack_plane_grids(grids) -> PlaneGrid:

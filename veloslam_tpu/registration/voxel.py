@@ -203,6 +203,41 @@ def merge_stats(grid: VoxelGrid, other: VoxelGrid, *,
                      cov=cov, origin=grid.origin, voxel_size=grid.voxel_size)
 
 
+@functools.partial(jax.jit, static_argnames=("bits",))
+def rebase_grid(grid: VoxelGrid, new_center: jax.Array,
+                bits: int = 10) -> VoxelGrid:
+    """Shift the grid's key-space origin to (voxel-aligned) `new_center`,
+    re-keying every voxel on device.
+
+    Packed keys bound the grid to ±2^(bits−1) voxels around the origin;
+    a long drive walks out of that window and new points start dropping
+    to INVALID_KEY.  Rebasing translates the integer coordinates by the
+    origin delta (voxels that leave the window are dropped — they are
+    behind the vehicle) and re-sorts so binary-search lookups stay valid.
+    Statistics (count/mean/cov, world coordinates) are unchanged.
+    """
+    d = jnp.round((new_center - grid.origin) / grid.voxel_size
+                  ).astype(jnp.int32)                         # (3,) voxels
+    new_origin = grid.origin + d.astype(jnp.float32) * grid.voxel_size
+    half = 1 << (bits - 1)
+    axis_mask = (1 << bits) - 1
+    keys = grid.keys
+    g = jnp.stack([(keys >> (2 * bits)) & axis_mask,
+                   (keys >> bits) & axis_mask,
+                   keys & axis_mask], -1) - d                 # shifted
+    ok = grid.occupied & jnp.all((g >= 0) & (g < (1 << bits)), axis=-1)
+    gc = jnp.clip(g, 0, axis_mask)
+    new_keys = jnp.where(
+        ok, (gc[:, 0] << (2 * bits)) | (gc[:, 1] << bits) | gc[:, 2],
+        INVALID_KEY)
+    order = jnp.argsort(new_keys)
+    return VoxelGrid(
+        keys=new_keys[order],
+        count=jnp.where(ok, grid.count, 0.0)[order],
+        mean=grid.mean[order], cov=grid.cov[order],
+        origin=new_origin, voxel_size=grid.voxel_size)
+
+
 # --- dense spatial index (O(1) lookup) ---------------------------------------
 
 class DenseIndex(NamedTuple):

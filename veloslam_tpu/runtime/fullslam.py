@@ -1,0 +1,227 @@
+"""Device-resident full SLAM: bulk odometry + keyframe ring + descriptors.
+
+The host-orchestrated SlamPipeline (runtime.pipeline) dispatches per frame
+and reads back per frame — flexible, but orders of magnitude slower than
+the bulk odometry path.  This module closes that gap: the keyframe layer
+(selection, scan storage, scan-context descriptors) lives ON DEVICE inside
+the same jitted program as the batched odometry step, so the full SLAM
+loop — decode → compensate → assemble → register → map merge → keyframe
+admission → descriptor — runs at bulk-replay rate with zero mid-stream
+readbacks.  Loop closure stays host-orchestrated but batch-granular: one
+device program scores all keyframe pairs (scan-context matmuls), one
+verifies all candidates (batched GICP), one graph solve corrects the
+trajectory.
+
+Capability mapping: the runtime contract of the reference's HDLManager
+(frame production, reference HDLManager.cxx:62-72) plus the SLAM loop the
+reference never implemented (README.md:25-26), at TPU-native throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from veloslam_tpu.core import se3
+from veloslam_tpu.decode.decode import DeviceCalib
+from veloslam_tpu.graph import scancontext as sc
+from veloslam_tpu.runtime import odometry as odo
+
+
+class KeyframeRing(NamedTuple):
+    """Fixed-capacity device store of keyframe scans + descriptors."""
+
+    q: jax.Array          # (K, 4) world pose at admission
+    t: jax.Array          # (K, 3)
+    time_rel_s: jax.Array  # (K,) seconds since stream start
+    desc: jax.Array       # (K, R, S) scan-context descriptors
+    pts: jax.Array        # (K, Pk, 3) frame-local subsampled scan
+    msk: jax.Array        # (K, Pk)
+    n: jax.Array          # () int32 — admitted keyframes (saturates at K)
+    last_q: jax.Array     # (4,) pose of the most recent keyframe
+    last_t: jax.Array     # (3,)
+    have: jax.Array       # () bool
+
+    @staticmethod
+    def init(capacity: int, scan_points: int, n_rings: int = sc.N_RINGS,
+             n_sectors: int = sc.N_SECTORS) -> "KeyframeRing":
+        return KeyframeRing(
+            q=jnp.zeros((capacity, 4), jnp.float32).at[:, 0].set(1.0),
+            t=jnp.zeros((capacity, 3), jnp.float32),
+            time_rel_s=jnp.zeros(capacity, jnp.float32),
+            desc=jnp.zeros((capacity, n_rings, n_sectors), jnp.float32),
+            pts=jnp.zeros((capacity, scan_points, 3), jnp.float32),
+            msk=jnp.zeros((capacity, scan_points), bool),
+            n=jnp.asarray(0, jnp.int32),
+            last_q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+            last_t=jnp.zeros(3, jnp.float32),
+            have=jnp.asarray(False))
+
+    @property
+    def capacity(self) -> int:
+        return self.q.shape[0]
+
+
+class SlamState(NamedTuple):
+    odom: odo.OdometryState
+    kf: KeyframeRing
+
+
+def _quat_angle(qa: jax.Array, qb: jax.Array) -> jax.Array:
+    return 2.0 * jnp.arccos(jnp.clip(jnp.abs(jnp.sum(qa * qb)), 0.0, 1.0))
+
+
+def _admit_keyframes(kf: KeyframeRing, slots: odo.SlotResults,
+                     batch_start_rel_stream_s: jax.Array, *,
+                     scan_points: int, kf_dist_m: float,
+                     kf_rot_rad: float) -> KeyframeRing:
+    """Sequential keyframe admission over the batch's frame slots.
+
+    The admission rule (distance/rotation from the LAST ADMITTED keyframe)
+    is inherently sequential, so it runs as a lax.scan whose carry is the
+    ring itself — each step is a handful of dynamic row writes, trivially
+    cheap next to registration."""
+    desc = sc.scan_context_batch(slots.pts_local, slots.msk)    # (F, R, S)
+    pts_k = slots.pts_local[:, :scan_points]    # hash-shuffled → uniform
+    msk_k = slots.msk[:, :scan_points]
+    K = kf.capacity
+
+    def body(ring: KeyframeRing, x):
+        done, q, t, tm, d, p, m = x
+        dist = jnp.linalg.norm(t - ring.last_t)
+        ang = _quat_angle(q, ring.last_q)
+        is_kf = done & (~ring.have | (dist > kf_dist_m)
+                        | (ang > kf_rot_rad))
+        idx = jnp.where(is_kf & (ring.n < K), ring.n, K)    # drop if full
+        ring = ring._replace(
+            q=ring.q.at[idx].set(q, mode="drop"),
+            t=ring.t.at[idx].set(t, mode="drop"),
+            time_rel_s=ring.time_rel_s.at[idx].set(
+                batch_start_rel_stream_s + tm, mode="drop"),
+            desc=ring.desc.at[idx].set(d, mode="drop"),
+            pts=ring.pts.at[idx].set(p, mode="drop"),
+            msk=ring.msk.at[idx].set(m, mode="drop"),
+            n=jnp.minimum(ring.n + is_kf.astype(jnp.int32), K),
+            last_q=jnp.where(is_kf, q, ring.last_q),
+            last_t=jnp.where(is_kf, t, ring.last_t),
+            have=ring.have | is_kf)
+        return ring, None
+
+    xs = (slots.done, slots.est_q, slots.est_t, slots.start_rel_s,
+          desc, pts_k, msk_k)
+    ring, _ = jax.lax.scan(body, kf, xs)
+    return ring
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
+    "min_points", "min_planarity", "scan_points", "kf_dist_m",
+    "kf_rot_rad", "use_pallas", "use_dense"))
+def slam_step_batched(state: SlamState, pkts: jax.Array,
+                      calib: DeviceCalib, pkt_rel_s: jax.Array,
+                      carry_start_rel_s: jax.Array,
+                      batch_start_rel_stream_s: jax.Array,
+                      track_rel_s: jax.Array, track_q: jax.Array,
+                      track_t: jax.Array, track_v: jax.Array, *,
+                      model: str, n_beams: int, reg_points: int = 16384,
+                      reg_iterations: int = 8, max_frames_batch: int = 4,
+                      min_points: int = 4, min_planarity: float = 0.35,
+                      scan_points: int = 8192, kf_dist_m: float = 2.0,
+                      kf_rot_rad: float = 0.1745,
+                      use_pallas: bool = False, use_dense: bool = False
+                      ) -> Tuple[SlamState, jax.Array]:
+    """One fused device program: batched odometry + keyframe admission."""
+    odom, open_start, slots = odo._batched_core(
+        state.odom, pkts, calib, pkt_rel_s, carry_start_rel_s,
+        batch_start_rel_stream_s, track_rel_s, track_q, track_t, track_v,
+        model=model, n_beams=n_beams, reg_points=reg_points,
+        reg_iterations=reg_iterations, max_frames_batch=max_frames_batch,
+        min_points=min_points, min_planarity=min_planarity,
+        use_pallas=use_pallas, use_dense=use_dense)
+    kf = _admit_keyframes(state.kf, slots, batch_start_rel_stream_s,
+                          scan_points=scan_points, kf_dist_m=kf_dist_m,
+                          kf_rot_rad=kf_rot_rad)
+    return SlamState(odom=odom, kf=kf), open_start
+
+
+class FullSlam(odo.StreamingOdometry):
+    """Host driver for the full device-resident SLAM loop.
+
+    Extends the bulk odometry driver with a device keyframe ring; after
+    streaming, `keyframes()` reads the ring back once and the pipeline
+    layer (runtime.pipeline.run_offline / SlamPipeline.finalize) runs loop
+    closure + graph solve on it."""
+
+    def __init__(self, calib: DeviceCalib, *, model: str = "hdl32",
+                 n_beams: int = 32, voxel_size: float = 1.0,
+                 reg_points: int = 16384, reg_iterations: int = 8,
+                 map_capacity: int = 32768, max_frames: int = 4096,
+                 kf_capacity: int = 512, kf_scan_points: int = 8192,
+                 kf_dist_m: float = 2.0, kf_rot_deg: float = 10.0,
+                 use_pallas: bool = False, use_dense: bool = False):
+        super().__init__(calib, model=model, n_beams=n_beams,
+                         voxel_size=voxel_size, reg_points=reg_points,
+                         reg_iterations=reg_iterations,
+                         map_capacity=map_capacity, max_frames=max_frames,
+                         batched=True, use_pallas=use_pallas,
+                         use_dense=use_dense)
+        self.kf_scan_points = kf_scan_points
+        self.kf_dist_m = float(kf_dist_m)
+        self.kf_rot_rad = float(np.deg2rad(kf_rot_deg))
+        self.ring = KeyframeRing.init(kf_capacity, kf_scan_points)
+
+    def feed(self, pkts, times_us, track_window) -> None:
+        track_window = self._pad_window(track_window)
+        anchor = int(times_us[0])
+        if self._stream_t0_us is None:
+            self._stream_t0_us = anchor
+            prev_anchor = anchor
+            open_dev = jnp.asarray(0.0, jnp.float32)
+        else:
+            prev_anchor = self._open_anchor
+            open_dev = self._open_start_dev
+        carry_start = open_dev + jnp.asarray(
+            (prev_anchor - anchor) * 1e-6, jnp.float32)
+        rel = jnp.asarray((times_us - anchor) * 1e-6, jnp.float32)
+        batch_rel = jnp.asarray((anchor - self._stream_t0_us) * 1e-6,
+                                jnp.float32)
+        trk = (jnp.asarray(track_window["rel_s"]),
+               jnp.asarray(track_window["q"]),
+               jnp.asarray(track_window["t"]),
+               jnp.asarray(track_window["v"]))
+        st, open_start = slam_step_batched(
+            SlamState(odom=self.state, kf=self.ring), jnp.asarray(pkts),
+            self.calib, rel, carry_start, batch_rel, *trk,
+            model=self.model, n_beams=self.n_beams,
+            reg_points=self.reg_points,
+            reg_iterations=self.reg_iterations,
+            max_frames_batch=self.MAX_FRAMES_BATCH,
+            scan_points=self.kf_scan_points, kf_dist_m=self.kf_dist_m,
+            kf_rot_rad=self.kf_rot_rad,
+            use_pallas=self.use_pallas, use_dense=self.use_dense)
+        self.state, self.ring = st.odom, st.kf
+        self._open_start_dev = open_start
+        self._open_anchor = anchor
+
+    def descriptor_scores(self):
+        """(scores, shifts) device arrays over the whole ring — ONE
+        dispatched program for all-pairs place recognition."""
+        return sc.descriptor_scores(self.ring.desc)
+
+    def keyframes(self) -> dict:
+        """Read the ring back (end-of-stream / sweep time)."""
+        r = self.ring
+        n = int(r.n)
+        return {
+            "n": n,
+            "q": np.asarray(r.q[:n]),
+            "t": np.asarray(r.t[:n]),
+            "times_us": (np.asarray(r.time_rel_s[:n], np.float64) * 1e6
+                         + (self._stream_t0_us or 0)).astype(np.int64),
+            "pts": np.asarray(r.pts[:n]),
+            "msk": np.asarray(r.msk[:n]),
+        }

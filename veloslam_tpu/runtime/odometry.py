@@ -18,6 +18,13 @@ map takes over.
 Estimation model matches runtime.pipeline: the INS provides compensation
 and relative priors; registration maintains a correction
 C = T_est ∘ T_ins⁻¹ so the prior for each new frame is C ∘ T_ins(start).
+
+Batch-size guidance for the batched step: all frames of a batch register
+against the batch-START map with the batch-start correction, so drift
+correction chains once per batch.  With drift-free INS (offline replay of
+surveyed data) batches of many seconds are exact to centimeters; with
+drifting INS keep batches ≲0.5 s of data (≈512-1024 HDL-32 packets) so
+per-frame corrections keep up with the drift rate.
 """
 
 from __future__ import annotations
@@ -233,32 +240,32 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
     return state, open_start
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
-    "min_points", "min_planarity"))
-def odometry_step_batched(state: OdometryState, pkts: jax.Array,
-                          calib: DeviceCalib, pkt_rel_s: jax.Array,
-                          carry_start_rel_s: jax.Array,
-                          batch_start_rel_stream_s: jax.Array,
-                          track_rel_s: jax.Array, track_q: jax.Array,
-                          track_t: jax.Array, track_v: jax.Array, *,
-                          model: str, n_beams: int, reg_points: int = 16384,
-                          reg_iterations: int = 8,
-                          max_frames_batch: int = 4, min_points: int = 4,
-                          min_planarity: float = 0.35
-                          ) -> Tuple[OdometryState, jax.Array]:
-    """Throughput variant of `odometry_step`: ALL frame slots register in
-    one vmapped GICP program against the batch-start map, then merge.
+class SlotResults(NamedTuple):
+    """Per-frame-slot outputs of one batched odometry step (leading F)."""
 
-    Semantics vs the fused sequential step: each frame's prior is
-    C ∘ T_ins(start) with the batch-start correction C (not the running
-    per-frame correction), and the registration target excludes frames
-    completed earlier in the same batch.  At HDL frame rate (≤0.4 s per
-    4-frame batch) the local map barely changes within a batch, so the
-    trajectories agree to centimeters (tests/test_odometry.py); in
-    exchange the per-frame dispatch floor — which dominates single-frame
-    registration on the axon backend — is paid once per batch.
-    """
+    done: jax.Array        # (F,) bool — slot holds a completed frame
+    est_q: jax.Array       # (F, 4) estimated world pose
+    est_t: jax.Array       # (F, 3)
+    start_rel_s: jax.Array  # (F,) frame start, batch time base
+    pts_local: jax.Array   # (F, P, 3) subsampled scan, frame-local
+    msk: jax.Array         # (F, P)
+    n_matched: jax.Array   # (F,) int32
+
+
+def _batched_core(state: OdometryState, pkts: jax.Array,
+                  calib: DeviceCalib, pkt_rel_s: jax.Array,
+                  carry_start_rel_s: jax.Array,
+                  batch_start_rel_stream_s: jax.Array,
+                  track_rel_s: jax.Array, track_q: jax.Array,
+                  track_t: jax.Array, track_v: jax.Array, *,
+                  model: str, n_beams: int, reg_points: int,
+                  reg_iterations: int, max_frames_batch: int,
+                  min_points: int, min_planarity: float,
+                  use_pallas: bool = False, use_dense: bool = False
+                  ) -> Tuple[OdometryState, jax.Array, SlotResults]:
+    """Shared body of the batched odometry step; also returns per-slot
+    results so callers (runtime.fullslam) can select keyframes without a
+    second decode pass."""
     dec = decode_packets(pkts, calib, model=model)
     xyz_w, _ = compensate(dec, pkt_rel_s, track_rel_s, track_q, track_t,
                           track_v)
@@ -286,8 +293,12 @@ def odometry_step_batched(state: OdometryState, pkts: jax.Array,
 
     target = gicp.plane_grid_from(state.map_grid, min_points=min_points,
                                   min_planarity=min_planarity)
-    res = gicp.register_batch(pts_local, msk, target, priors,
-                              iterations=reg_iterations)
+    # Optional O(1) correspondence index / fused Pallas normal equations —
+    # the per-backend winners are measured by bench.py's A/B section.
+    dense = vx.build_dense_index(state.map_grid) if use_dense else None
+    res = gicp.register_batch(pts_local, msk, target, priors, dense,
+                              iterations=reg_iterations,
+                              use_pallas=use_pallas)
     healthy = ((res.n_matched > 500)
                & jax.vmap(lambda t: jnp.all(jnp.isfinite(t)))(res.pose.t)
                & state.have_map)                           # (F,)
@@ -322,10 +333,61 @@ def odometry_step_batched(state: OdometryState, pkts: jax.Array,
     decayed = state.map_grid._replace(count=state.map_grid.count * decay)
     merged = vx.merge_stats(decayed, scan_grid,
                             capacity=state.map_grid.capacity)
-    return state._replace(
+    # Unbounded drives: packed keys cover ±2^9 voxels around the origin;
+    # when the vehicle approaches the window edge, re-key the rolling map
+    # around the current position (device-side sort, ~1/205 m of travel).
+    pos = est_t[last]
+    half_range_m = jnp.asarray(1 << 9, jnp.float32) * merged.voxel_size
+    need_rebase = upd & (jnp.linalg.norm(pos - merged.origin)
+                         > 0.4 * half_range_m)
+    merged = jax.lax.cond(need_rebase,
+                          lambda g: vx.rebase_grid(g, pos),
+                          lambda g: g, merged)
+    state = state._replace(
         map_grid=merged, corr_q=corr_q, corr_t=corr_t, traj_q=traj_q,
         traj_t=traj_t, traj_time=traj_time, n_frames=n + n_done,
-        have_map=state.have_map | upd), open_start
+        have_map=state.have_map | upd)
+    slots = SlotResults(done=slot_done, est_q=est_q, est_t=est_t,
+                        start_rel_s=starts, pts_local=pts_local, msk=msk,
+                        n_matched=res.n_matched)
+    return state, open_start, slots
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
+    "min_points", "min_planarity", "use_pallas", "use_dense"))
+def odometry_step_batched(state: OdometryState, pkts: jax.Array,
+                          calib: DeviceCalib, pkt_rel_s: jax.Array,
+                          carry_start_rel_s: jax.Array,
+                          batch_start_rel_stream_s: jax.Array,
+                          track_rel_s: jax.Array, track_q: jax.Array,
+                          track_t: jax.Array, track_v: jax.Array, *,
+                          model: str, n_beams: int, reg_points: int = 16384,
+                          reg_iterations: int = 8,
+                          max_frames_batch: int = 4, min_points: int = 4,
+                          min_planarity: float = 0.35,
+                          use_pallas: bool = False, use_dense: bool = False
+                          ) -> Tuple[OdometryState, jax.Array]:
+    """Throughput variant of `odometry_step`: ALL frame slots register in
+    one vmapped GICP program against the batch-start map, then merge.
+
+    Semantics vs the fused sequential step: each frame's prior is
+    C ∘ T_ins(start) with the batch-start correction C (not the running
+    per-frame correction), and the registration target excludes frames
+    completed earlier in the same batch.  At HDL frame rate (≤0.4 s per
+    4-frame batch) the local map barely changes within a batch, so the
+    trajectories agree to centimeters (tests/test_odometry.py); in
+    exchange the per-frame dispatch floor — which dominates single-frame
+    registration on the axon backend — is paid once per batch.
+    """
+    state, open_start, _ = _batched_core(
+        state, pkts, calib, pkt_rel_s, carry_start_rel_s,
+        batch_start_rel_stream_s, track_rel_s, track_q, track_t, track_v,
+        model=model, n_beams=n_beams, reg_points=reg_points,
+        reg_iterations=reg_iterations, max_frames_batch=max_frames_batch,
+        min_points=min_points, min_planarity=min_planarity,
+        use_pallas=use_pallas, use_dense=use_dense)
+    return state, open_start
 
 
 def packets_per_second(model: str) -> float:
@@ -354,7 +416,8 @@ class StreamingOdometry:
                  n_beams: int = 32, voxel_size: float = 1.0,
                  reg_points: int = 16384, reg_iterations: int = 8,
                  map_capacity: int = 32768, max_frames: int = 4096,
-                 fused: bool = True, batched: bool = False):
+                 fused: bool = True, batched: bool = False,
+                 use_pallas: bool = False, use_dense: bool = False):
         self.calib = calib
         self.model = model
         self.n_beams = n_beams
@@ -362,6 +425,8 @@ class StreamingOdometry:
         self.reg_iterations = reg_iterations
         self.fused = fused
         self.batched = batched
+        self.use_pallas = use_pallas
+        self.use_dense = use_dense
         self.state = init_state(n_beams, map_capacity=map_capacity,
                                 max_frames=max_frames,
                                 voxel_size=voxel_size)
@@ -502,7 +567,8 @@ class StreamingOdometry:
                 model=self.model, n_beams=self.n_beams,
                 reg_points=self.reg_points,
                 reg_iterations=self.reg_iterations,
-                max_frames_batch=self.MAX_FRAMES_BATCH)
+                max_frames_batch=self.MAX_FRAMES_BATCH,
+                use_pallas=self.use_pallas, use_dense=self.use_dense)
         elif self.fused:
             self.state, open_start = odometry_step(
                 self.state, jnp.asarray(pkts), self.calib, rel, carry_start,

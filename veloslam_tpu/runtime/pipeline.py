@@ -79,8 +79,13 @@ class SlamPipeline:
                                  spill_dir=spill_dir)
         self.graph = PoseGraph(max_poses=self.cfg.graph.max_keyframes)
         self.keyframe_scans: List[Tuple[np.ndarray, np.ndarray]] = []
+        self.keyframe_descs: List[np.ndarray] = []   # scan-context (R, S)
         self.keyframe_times: List[int] = []
         self._kf_map_pose: List[Tuple[np.ndarray, np.ndarray]] = []
+        # Keyframe pose at CREATION (immutable): the per-frame trajectory
+        # was recorded against these; finalize() corrects it by the total
+        # keyframe motion since creation, across however many graph solves.
+        self._kf_pose_at_creation: List[Tuple[np.ndarray, np.ndarray]] = []
         self.trajectory: List[FrameResult] = []
         self.timers = StageTimers()
         self.closures: List[Tuple[int, int]] = []
@@ -371,6 +376,71 @@ class SlamPipeline:
                                  offsets=offs[s:s + B], pcap_path=pcap_path)
         return self.results()
 
+    def run_offline_batched(self, pcap_path: str,
+                            ins_path: Optional[str] = None,
+                            max_packets: Optional[int] = None,
+                            batch: int = 8192) -> Dict:
+        """High-throughput offline SLAM: the full loop at bulk-replay rate.
+
+        Odometry, keyframe selection, and scan-context descriptors run
+        device-resident (runtime.fullslam) with zero mid-stream readbacks;
+        the keyframe set then feeds the SAME loop-closure / pose-graph /
+        map machinery as the per-frame path, so `finalize()` afterwards
+        closes loops and corrects the map exactly as in run_offline.
+        Frame payloads are not kept (use run_offline when the FrameStore
+        contents matter)."""
+        from veloslam_tpu.graph import scancontext as sc_mod
+        from veloslam_tpu.runtime.fullslam import FullSlam
+
+        if ins_path:
+            self.feed_ins_txt(ins_path)
+        pkts, times, _ = read_lidar_packets(pcap_path, max_packets)
+        times = self._ground_offline_times(pcap_path, pkts, times)
+        sc = self.cfg.sensor
+        rc = self.cfg.registration
+        gc = self.cfg.graph
+        with self.timers.stage("slam_batched"):
+            eng = FullSlam(self.dcalib, model=sc.model,
+                           n_beams=sc.n_lasers, voxel_size=rc.voxel_size,
+                           reg_points=rc.max_points,
+                           reg_iterations=rc.max_iterations,
+                           kf_capacity=gc.max_keyframes,
+                           kf_dist_m=gc.keyframe_translation_m,
+                           kf_rot_deg=gc.keyframe_rotation_deg,
+                           use_pallas=rc.use_pallas,
+                           use_dense=rc.use_dense_index)
+            res = eng.run(pkts, times, self.track, batch=batch)
+        for i in range(res["n_frames"]):
+            self.trajectory.append(FrameResult(
+                start_us=int(res["times_us"][i]),
+                pose_q=res["quaternions"][i], pose_t=res["positions"][i],
+                n_points=-1, n_matched=-1, mean_error=float("nan"),
+                registered=True))
+        with self.timers.stage("kf_readback"):
+            kfs = eng.keyframes()
+            descs = np.asarray(eng.ring.desc[:kfs["n"]])
+        for k in range(kfs["n"]):
+            self.graph.add_pose(kfs["q"][k], kfs["t"][k])
+            self.keyframe_scans.append((kfs["pts"][k], kfs["msk"][k]))
+            self.keyframe_descs.append(descs[k])
+            self.keyframe_times.append(int(kfs["times_us"][k]))
+            self._kf_map_pose.append((kfs["q"][k].copy(),
+                                      kfs["t"][k].copy()))
+            self._kf_pose_at_creation.append((kfs["q"][k].copy(),
+                                              kfs["t"][k].copy()))
+            if k > 0:
+                rel = se3.relative(_np_pose(kfs["q"][k - 1],
+                                            kfs["t"][k - 1]),
+                                   _np_pose(kfs["q"][k], kfs["t"][k]))
+                self.graph.add_edge(k - 1, k, np.asarray(rel.q),
+                                    np.asarray(rel.t),
+                                info=self.cfg.graph.odom_edge_info)
+        # Materialize the tiled map from the keyframe scans (the rolling
+        # device grid was odometry's working set, not the product map).
+        with self.timers.stage("map_build"):
+            self.rebuild_map()
+        return self.results()
+
     def warmup(self, duration_s: float = 0.35) -> None:
         """Pre-compile the streaming programs (decode → compensate →
         assemble → register) by pushing a short synthetic drive through a
@@ -557,6 +627,58 @@ class SlamPipeline:
         msk[:len(pts)] = True
         return out, msk
 
+    def _register_frame(self, pts: np.ndarray, mask: np.ndarray,
+                        T_prior: se3.Pose):
+        """Scan-to-map registration against the ROI around the prior.
+        Returns the registration result or None (no map content yet).
+        Overridden by the distributed session (parallel.session) to
+        register against the globally-sharded map."""
+        rc = self.cfg.registration
+        prior_t = np.asarray(T_prior.t)
+        roi = self.map.roi_grid(float(prior_t[0]), float(prior_t[1]))
+        if roi is None:
+            return None
+        with self.timers.stage("register"):
+            if rc.method == "d2d":
+                from veloslam_tpu.registration import d2d
+                src = vx.build_grid(
+                    jnp.asarray(pts), jnp.asarray(mask),
+                    roi.origin, roi.voxel_size,
+                    capacity=rc.scan_voxel_capacity)
+                usable = d2d.usable_mask(
+                    roi, min_points=rc.min_points_per_voxel)
+                return d2d.register_d2d(
+                    src, roi, usable, T_prior,
+                    iterations=rc.max_iterations, damping=rc.damping,
+                    max_dist=rc.max_correspondence_dist)
+            if rc.method == "ndt":
+                from veloslam_tpu.registration import ndt
+                target = ndt.build_ndt_grid(
+                    roi, min_points=rc.min_points_per_voxel)
+                return ndt.register(
+                    jnp.asarray(pts), jnp.asarray(mask), target,
+                    T_prior, iterations=rc.max_iterations,
+                    max_dist=rc.max_correspondence_dist)
+            target = gicp.plane_grid_from(
+                roi, min_points=rc.min_points_per_voxel,
+                min_planarity=rc.min_planarity)
+            dense = (vx.build_dense_index(roi)
+                     if rc.use_dense_index else None)
+            return gicp.register(
+                jnp.asarray(pts), jnp.asarray(mask), target,
+                T_prior, iterations=rc.max_iterations,
+                damping=rc.damping, huber_delta=rc.huber_delta,
+                max_dist=rc.max_correspondence_dist,
+                use_pallas=rc.use_pallas, dense=dense)
+
+    def _integrate_scan(self, pts_world: np.ndarray, mask: np.ndarray,
+                        center: np.ndarray, map_obj=None,
+                        sign: float = 1.0) -> None:
+        """Scan → map integration (overridden by the distributed session
+        to keep only this process's owned tiles)."""
+        (map_obj or self.map).integrate_points(pts_world, mask,
+                                               center=center, sign=sign)
+
     def _handle_frame(self, frame: Dict, start_us: int,
                       source: Optional[tuple] = None) -> None:
         rc = self.cfg.registration
@@ -587,42 +709,13 @@ class SlamPipeline:
         registered = False
         n_matched, mean_error = 0, float("nan")
         T_est = T_prior
-        prior_t = np.asarray(T_prior.t)
-        roi = self.map.roi_grid(float(prior_t[0]), float(prior_t[1]))
-        if roi is not None:
-            with self.timers.stage("register"):
-                if rc.method == "d2d":
-                    from veloslam_tpu.registration import d2d
-                    src = vx.build_grid(
-                        jnp.asarray(pts), jnp.asarray(mask),
-                        roi.origin, roi.voxel_size,
-                        capacity=rc.scan_voxel_capacity)
-                    usable = d2d.usable_mask(
-                        roi, min_points=rc.min_points_per_voxel)
-                    res = d2d.register_d2d(
-                        src, roi, usable, T_prior,
-                        iterations=rc.max_iterations, damping=rc.damping,
-                        max_dist=rc.max_correspondence_dist)
-                elif rc.method == "ndt":
-                    from veloslam_tpu.registration import ndt
-                    target = ndt.build_ndt_grid(
-                        roi, min_points=rc.min_points_per_voxel)
-                    res = ndt.register(
-                        jnp.asarray(pts), jnp.asarray(mask), target,
-                        T_prior, iterations=rc.max_iterations,
-                        max_dist=rc.max_correspondence_dist)
-                else:
-                    target = gicp.plane_grid_from(
-                        roi, min_points=rc.min_points_per_voxel,
-                        min_planarity=rc.min_planarity)
-                    res = gicp.register(
-                        jnp.asarray(pts), jnp.asarray(mask), target,
-                        T_prior, iterations=rc.max_iterations,
-                        damping=rc.damping, huber_delta=rc.huber_delta,
-                        max_dist=rc.max_correspondence_dist)
+        res = self._register_frame(pts, mask, T_prior)
+        if res is not None:
             n_matched = int(res.n_matched)
             mean_error = float(res.mean_error)
-            min_matched = 50 if rc.method == "d2d" else 500  # voxels vs pts
+            # d2d matches voxels; gicp/ndt match points
+            min_matched = (rc.min_matched_voxels if rc.method == "d2d"
+                           else rc.min_matched_points)
             if n_matched > min_matched and np.isfinite(mean_error):
                 T_est = res.pose
                 registered = True
@@ -631,7 +724,7 @@ class SlamPipeline:
         pts_world = np.asarray(se3.apply(T_est, jnp.asarray(pts)))
         est_t = np.asarray(T_est.t)
         with self.timers.stage("map_update"):
-            self.map.integrate_points(pts_world, mask, center=est_t)
+            self._integrate_scan(pts_world, mask, est_t)
 
         # Bookkeeping.
         self.frames.add_frame(start_us, frame_world,
@@ -661,28 +754,71 @@ class SlamPipeline:
                 return
         k = self.graph.add_pose(np.asarray(T_est.q), np.asarray(T_est.t))
         self.keyframe_scans.append((pts.copy(), mask.copy()))
+        if gc.use_scan_context:
+            from veloslam_tpu.graph import scancontext as sc_mod
+            self.keyframe_descs.append(np.asarray(sc_mod.scan_context(
+                jnp.asarray(pts), jnp.asarray(mask))))
         self.keyframe_times.append(start_us)
         # Pose this keyframe's scan was integrated into the map with
         # (_handle_frame integrated it just before) — the downdating
         # anchor for incremental map correction after graph solves.
         self._kf_map_pose.append((np.asarray(T_est.q), np.asarray(T_est.t)))
+        self._kf_pose_at_creation.append((np.asarray(T_est.q),
+                                          np.asarray(T_est.t)))
         if k > 0:
             prev = _np_pose(self.graph.q[k - 1], self.graph.t[k - 1])
             rel = se3.relative(prev, T_est)
             self.graph.add_edge(k - 1, k, np.asarray(rel.q),
-                                np.asarray(rel.t), info=(100.0,) * 6)
-        if k - self._kf_count_at_last_close >= 10:
+                                np.asarray(rel.t),
+                                    info=self.cfg.graph.odom_edge_info)
+        if k - self._kf_count_at_last_close >= \
+                gc.keyframes_per_closure_sweep:
             self._try_loop_closure()
             self._kf_count_at_last_close = k
 
-    def _try_loop_closure(self) -> None:
+    def _closure_candidates(self) -> List[Tuple[int, int, se3.Pose]]:
+        """Candidate (i, j, rel_prior) pairs from BOTH proposal channels:
+
+        * position radius (cheap, but blind once accumulated drift
+          exceeds the radius — its prior comes from graph poses);
+        * scan-context descriptors (drift-independent appearance matching;
+          its prior is the best-shift yaw with zero translation, so
+          verification does not depend on the drifted estimates either).
+        """
         gc = self.cfg.graph
-        rc = self.cfg.registration
         q, t = self.graph.poses()
-        cands = loopclosure.find_candidates(
-            t, radius=gc.loop_closure_radius_m,
-            min_gap=gc.loop_closure_min_gap)
-        new = [c for c in cands if c not in self.closures][:8]
+        seen = set(self.closures)
+        out: List[Tuple[int, int, se3.Pose]] = []
+        for i, j in loopclosure.find_candidates(
+                t, radius=gc.loop_closure_radius_m,
+                min_gap=gc.loop_closure_min_gap):
+            if (i, j) in seen:
+                continue
+            seen.add((i, j))
+            out.append((i, j, se3.relative(_np_pose(q[i], t[i]),
+                                           _np_pose(q[j], t[j]))))
+        if gc.use_scan_context and len(self.keyframe_descs) >= 2:
+            from veloslam_tpu.graph import scancontext as sc_mod
+            scores, shifts = sc_mod.descriptor_scores(
+                jnp.asarray(np.stack(self.keyframe_descs)))
+            for i, j, _, shift in sc_mod.propose(
+                    np.asarray(scores), np.asarray(shifts),
+                    n_valid=len(self.keyframe_descs),
+                    min_score=gc.sc_min_score,
+                    min_gap=gc.loop_closure_min_gap,
+                    exclude=seen):
+                seen.add((i, j))
+                yaw = float(sc_mod.relative_yaw(shift))
+                out.append((i, j, se3.Pose(
+                    jnp.asarray([np.cos(yaw / 2), 0.0, 0.0,
+                                 np.sin(yaw / 2)], jnp.float32),
+                    jnp.zeros(3, jnp.float32))))
+        return out[:gc.max_closure_candidates_per_sweep]
+
+    def _try_loop_closure(self) -> None:
+        rc = self.cfg.registration
+        new_p = self._closure_candidates()
+        new = [(i, j) for i, j, _ in new_p]
         accepted = 0
         if new:
             # All candidates of the sweep verify in one batched program
@@ -695,11 +831,9 @@ class SlamPipeline:
                                        for _, j in new]))
             mj = jnp.asarray(np.stack([self.keyframe_scans[j][1]
                                        for _, j in new]))
-            priors = [se3.relative(_np_pose(q[i], t[i]),
-                                   _np_pose(q[j], t[j])) for i, j in new]
             rel_priors = se3.Pose(
-                jnp.stack([p.q for p in priors]),
-                jnp.stack([p.t for p in priors]))
+                jnp.stack([p.q for _, _, p in new_p]),
+                jnp.stack([p.t for _, _, p in new_p]))
             with self.timers.stage("loop_verify"):
                 measures = loopclosure.verify_closures_batch(
                     pi, mi, pj, mj, rel_priors,
@@ -709,7 +843,8 @@ class SlamPipeline:
                 if meas is None:
                     continue
                 self.graph.add_edge(i, j, np.asarray(meas.q),
-                                    np.asarray(meas.t), info=(500.0,) * 6)
+                                    np.asarray(meas.t),
+                                    info=self.cfg.graph.closure_edge_info)
                 self.closures.append((i, j))
                 accepted += 1
         if accepted:
@@ -742,9 +877,10 @@ class SlamPipeline:
             old_pose = _np_pose(old_q, old_t)
             new_pose = _np_pose(q[k], t[k])
             jpts = jnp.asarray(pts)
-            self.map.deintegrate_points(
-                np.asarray(se3.apply(old_pose, jpts)), mask, center=old_t)
-            self.map.integrate_points(
+            self._integrate_scan(
+                np.asarray(se3.apply(old_pose, jpts)), mask,
+                center=old_t, sign=-1.0)
+            self._integrate_scan(
                 np.asarray(se3.apply(new_pose, jpts)), mask, center=t[k])
             self._kf_map_pose[k] = (q[k].copy(), t[k].copy())
             moved += 1
@@ -760,23 +896,100 @@ class SlamPipeline:
         for k, (pts, mask) in enumerate(self.keyframe_scans):
             pose = _np_pose(q[k], t[k])
             pts_w = np.asarray(se3.apply(pose, jnp.asarray(pts)))
-            fresh.integrate_points(pts_w, mask, center=t[k])
+            self._integrate_scan(pts_w, mask, center=t[k], map_obj=fresh)
             if k < len(self._kf_map_pose):
                 self._kf_map_pose[k] = (q[k].copy(), t[k].copy())
         self.map = fresh
 
+    def _correct_trajectory(self, old_q: np.ndarray, old_t: np.ndarray
+                            ) -> None:
+        """Propagate a graph solve to the per-frame trajectory: the world-
+        frame correction C_k = T_new_k ∘ T_old_k⁻¹ of each keyframe is
+        interpolated (slerp/lerp over keyframe times) at every frame time
+        and left-composed onto the frame's pose — exact at keyframes,
+        smooth between them."""
+        if not self.trajectory or self.graph.n_poses < 1:
+            return
+        from veloslam_tpu.core.timeline import interpolate_poses
+        new_q, new_t = self.graph.poses()
+        K = len(new_q)
+        corr = jax.vmap(lambda nq, nt, oq, ot: se3.compose(
+            se3.Pose(nq, nt), se3.inverse(se3.Pose(oq, ot))))(
+                jnp.asarray(new_q), jnp.asarray(new_t),
+                jnp.asarray(old_q[:K]), jnp.asarray(old_t[:K]))
+        kt = np.asarray(self.keyframe_times[:K], np.float64)
+        ft = np.asarray([r.start_us for r in self.trajectory], np.float64)
+        anchor = kt[0]
+        c = interpolate_poses(
+            jnp.asarray((kt - anchor) * 1e-6, jnp.float32),
+            corr.q, corr.t, jnp.zeros((K, 3), jnp.float32),
+            jnp.asarray((ft - anchor) * 1e-6, jnp.float32))
+        fq = jnp.asarray(np.stack([r.pose_q for r in self.trajectory]))
+        ftl = jnp.asarray(np.stack([r.pose_t for r in self.trajectory]))
+        fixed = jax.vmap(lambda cq, ct, q, t: se3.compose(
+            se3.Pose(cq, ct), se3.Pose(q, t)))(c.q, c.t, fq, ftl)
+        q_np, t_np = np.asarray(fixed.q), np.asarray(fixed.t)
+        for i, r in enumerate(self.trajectory):
+            r.pose_q, r.pose_t = q_np[i], t_np[i]
+
+    def add_landmark_observations(self) -> Tuple[int, int]:
+        """Extract post landmarks from every keyframe scan and add them as
+        pose-landmark observations (graph.landmark_assoc) — the landmark-
+        map capability the reference's MapObjects layer anticipates
+        (MapObjects.h:11-46) wired into the production back end.  Runs
+        once; returns (n_landmarks, n_observations) added."""
+        if getattr(self, "_landmarks_added", False):
+            return 0, 0
+        self._landmarks_added = True
+        gc = self.cfg.graph
+        from veloslam_tpu.graph import landmark_assoc as la
+        with self.timers.stage("landmarks"):
+            det = [la.extract_scan_posts(pts, mask)
+                   for pts, mask in self.keyframe_scans]
+            return la.associate_and_add(
+                self.graph, det, radius=gc.landmark_cluster_radius_m,
+                min_observations=gc.landmark_min_observations,
+                obs_info=gc.landmark_obs_info)
+
     def finalize(self) -> Dict:
-        """End-of-session pass: final loop-closure sweep, graph solve, map
-        rebuild.  Returns results() including the optimized keyframe
-        trajectory."""
+        """End-of-session pass: final loop-closure sweep, landmark
+        extraction/association, graph solve (Schur-eliminated landmarks
+        when present), map rebuild, per-frame trajectory correction."""
         self._try_loop_closure()
-        if self.graph.n_edges > self.graph.n_poses - 1:
-            out, _ = optimize.solve(self.graph.arrays(),
-                                    max_poses=self.graph.K,
-                                    iterations=self.cfg.graph.gn_iterations)
-            self.graph.update_from(np.asarray(out.q)[:self.graph.n_poses],
-                                   np.asarray(out.t)[:self.graph.n_poses])
-            self.rebuild_map()
+        if self.cfg.graph.use_landmarks and self.keyframe_scans:
+            self.add_landmark_observations()
+        has_closures = self.graph.n_edges > max(self.graph.n_poses - 1, 0)
+        if has_closures or self.graph.n_obs > 0:
+            with self.timers.stage("graph_solve"):
+                if self.graph.n_obs > 0:
+                    out, _ = optimize.solve_with_landmarks(
+                        self.graph.arrays(), max_poses=self.graph.K,
+                        max_landmarks=self.graph.M,
+                        iterations=self.cfg.graph.gn_iterations)
+                    self.graph.update_from(
+                        np.asarray(out.q)[:self.graph.n_poses],
+                        np.asarray(out.t)[:self.graph.n_poses],
+                        np.asarray(out.l_pos)[:self.graph.n_landmarks])
+                else:
+                    out, _ = optimize.solve(
+                        self.graph.arrays(), max_poses=self.graph.K,
+                        iterations=self.cfg.graph.gn_iterations)
+                    self.graph.update_from(
+                        np.asarray(out.q)[:self.graph.n_poses],
+                        np.asarray(out.t)[:self.graph.n_poses])
+            with self.timers.stage("map_downdate"):
+                self.rebuild_map()
+        # Correct the per-frame trajectory by each keyframe's TOTAL motion
+        # since creation (mid-session sweeps may already have solved —
+        # the per-frame trajectory was recorded at creation poses).
+        if self._kf_pose_at_creation:
+            old_q = np.stack([q for q, _ in self._kf_pose_at_creation])
+            old_t = np.stack([t for _, t in self._kf_pose_at_creation])
+            self._correct_trajectory(old_q, old_t)
+            new_q, new_t = self.graph.poses()
+            self._kf_pose_at_creation = [
+                (new_q[k].copy(), new_t[k].copy())
+                for k in range(self.graph.n_poses)]
         return self.results()
 
     # --- outputs ------------------------------------------------------------
@@ -795,6 +1008,8 @@ class SlamPipeline:
             "n_frames": len(self.trajectory),
             "n_keyframes": self.graph.n_poses,
             "n_closures": len(self.closures),
+            "n_landmarks": self.graph.n_landmarks,
+            "n_landmark_obs": self.graph.n_obs,
             "keyframe_positions": self.graph.poses()[1].copy(),
             "keyframe_times_us": np.asarray(self.keyframe_times, np.int64),
             "map_patches": self.map.n_patches,
