@@ -299,3 +299,33 @@ def test_online_gps_grounding_without_ins():
     # stamps resolved on the simulated GPS clock, not the wall clock
     assert np.all(np.abs(res["times_us"] - t0) < 5_000_000), (
         res["times_us"][:3], t0)
+
+
+def test_native_pump_tsan(tmp_path):
+    """Race detection for the only threaded code in the framework: build
+    the C++ pump under ThreadSanitizer and hammer its ring buffer with a
+    real UDP producer + concurrent pollers (incl. the drop-oldest path via
+    a tiny ring).  TSAN halt_on_error makes any data race a hard failure —
+    the machine-checked version of the reference's 'MIGHT BE safe'
+    hand-waving (HDLManager.h:196-206)."""
+    import os
+    import subprocess
+    src_pump = os.path.join(os.path.dirname(__file__), "..",
+                            "veloslam_tpu", "io", "native",
+                            "packet_pump.cpp")
+    src_main = os.path.join(os.path.dirname(__file__),
+                            "native_tsan_main.cpp")
+    exe = str(tmp_path / "tsan_pump")
+    build = subprocess.run(
+        ["g++", "-fsanitize=thread", "-O1", "-g", "-std=c++17", "-pthread",
+         src_pump, src_main, "-o", exe],
+        capture_output=True, text=True, timeout=180)
+    if build.returncode != 0:
+        pytest.skip(f"TSAN toolchain unavailable: {build.stderr[-500:]}")
+    env = dict(os.environ, TSAN_OPTIONS="halt_on_error=1")
+    run = subprocess.run([exe, "45997"], capture_output=True, text=True,
+                         timeout=120, env=env)
+    out = run.stdout + run.stderr
+    assert "WARNING: ThreadSanitizer" not in out, out[-4000:]
+    assert run.returncode == 0, out[-2000:]
+    assert "TSAN_OK" in run.stdout

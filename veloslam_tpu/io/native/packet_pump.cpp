@@ -221,10 +221,16 @@ static void* udp_open_impl(int port, int payload_size, long long capacity,
       if (r->exact ? (got != (ssize_t)r->payload_size)
                    : (got > (ssize_t)r->payload_size))
         continue;                                      // wrong/oversize
-      long long h = r->head.load();
-      if (h - r->tail.load() >= r->capacity) {        // ring full: drop oldest
-        r->tail.fetch_add(1);
-        r->dropped.fetch_add(1);
+      // Single-producer/single-consumer ring: the producer writes only
+      // `head`, the consumer writes only `tail`.  On overflow the NEW
+      // datagram is dropped — advancing `tail` from here (drop-oldest)
+      // would both race the consumer's tail update and overwrite the
+      // slot it may be mid-read (a torn packet; found by the TSAN
+      // harness, tests/native_tsan_main.cpp).
+      long long h = r->head.load(std::memory_order_relaxed);
+      if (h - r->tail.load(std::memory_order_acquire) >= r->capacity) {
+        r->dropped.fetch_add(1, std::memory_order_relaxed);
+        continue;                                      // ring full
       }
       long long slot = h % r->capacity;
       unsigned char* dst = r->ring.data() + slot * r->payload_size;
@@ -233,7 +239,7 @@ static void* udp_open_impl(int port, int payload_size, long long capacity,
         memset(dst + got, 0, r->payload_size - got);   // zero-pad the slot
       r->times[slot] = now_us();
       r->lens[slot] = (int)got;
-      r->head.store(h + 1);
+      r->head.store(h + 1, std::memory_order_release);  // publish the slot
     }
   });
   return r;
@@ -254,13 +260,13 @@ long long pp_udp_poll(void* handle, unsigned char* out, long long* out_times,
   auto* r = (Receiver*)handle;
   long long n = 0;
   while (n < max_packets) {
-    long long t = r->tail.load();
-    if (t >= r->head.load()) break;
+    long long t = r->tail.load(std::memory_order_relaxed);
+    if (t >= r->head.load(std::memory_order_acquire)) break;
     long long slot = t % r->capacity;
     memcpy(out + n * r->payload_size,
            r->ring.data() + slot * r->payload_size, r->payload_size);
     out_times[n] = r->times[slot];
-    r->tail.store(t + 1);
+    r->tail.store(t + 1, std::memory_order_release);   // free the slot
     n++;
   }
   return n;
@@ -274,14 +280,14 @@ long long pp_udp_poll_lens(void* handle, unsigned char* out,
   auto* r = (Receiver*)handle;
   long long n = 0;
   while (n < max_packets) {
-    long long t = r->tail.load();
-    if (t >= r->head.load()) break;
+    long long t = r->tail.load(std::memory_order_relaxed);
+    if (t >= r->head.load(std::memory_order_acquire)) break;
     long long slot = t % r->capacity;
     memcpy(out + n * r->payload_size,
            r->ring.data() + slot * r->payload_size, r->payload_size);
     out_times[n] = r->times[slot];
     out_lens[n] = r->lens[slot];
-    r->tail.store(t + 1);
+    r->tail.store(t + 1, std::memory_order_release);   // free the slot
     n++;
   }
   return n;
