@@ -5,8 +5,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import NamedSharding
 
 from veloslam_tpu.config import MeshConfig
+from veloslam_tpu.core import se3
 from veloslam_tpu.parallel import halo
 from veloslam_tpu.parallel import mesh as mesh_mod
 from veloslam_tpu.registration import gicp
@@ -17,6 +19,69 @@ from veloslam_tpu.registration import voxel as vx
 def mesh4():
     assert len(jax.devices()) >= 4
     return mesh_mod.make_mesh(MeshConfig(data_axis=1, map_axis=4))
+
+
+def _scene(rng, n_per=24):
+    """Plane-rich clusters spanning a wide x range (many shard
+    boundaries in the sorted key table)."""
+    pts = []
+    for x in range(-60, 60, 1):
+        base = np.array([x + 0.5, 0.5, 0.5])
+        pts.append(base + rng.normal(0, 0.1, (n_per, 3))
+                   * [0.25, 0.25, 0.02])
+        # vertical wall slabs every 8 m constrain x and z
+        if x % 8 == 0:
+            base = np.array([x + 0.5, 4.0, 1.0])
+            pts.append(base + rng.normal(0, 0.1, (n_per, 3))
+                       * [0.02, 0.3, 0.3])
+    return np.concatenate(pts).astype(np.float32)
+
+
+def test_register_halo_sharded_matches_unsharded(mesh4):
+    """Production path: points routed by key-range ownership + haloed map
+    shards reproduce the single-device GICP result."""
+    rng = np.random.default_rng(1)
+    pts = _scene(rng)
+    P = 1 << int(np.ceil(np.log2(len(pts))))
+    pad = np.zeros((P, 3), np.float32)
+    msk = np.zeros(P, bool)
+    pad[:len(pts)] = pts
+    msk[:len(pts)] = True
+    target = gicp.build_plane_grid(jnp.asarray(pad), jnp.asarray(msk),
+                                   np.zeros(3), 1.0, capacity=1024)
+
+    # source scan: the scene observed under a small SE(3) offset
+    T = se3.Pose(se3.quat_from_axis_angle(
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.asarray(0.02)),
+        jnp.asarray([0.2, -0.15, 0.05]))
+    src = np.asarray(se3.apply(T, jnp.asarray(pad)))
+    oracle = gicp.register(jnp.asarray(src), jnp.asarray(msk), target,
+                           se3.Pose.identity(), iterations=12)
+
+    n_shards = 4
+    specs = halo._plane_specs("map")
+    tgt_sh = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh4, s)),
+        target, specs)
+    table_keys = np.asarray(target.grid.keys)
+    # 2x: routing happened at the prior pose; the correction can move a
+    # point's own voxel ±1, doubling the worst-case key distance.
+    h = 2 * halo.required_halo(table_keys, n_shards) + 16
+    p_r, m_r = halo.partition_points_by_key_ranges(
+        table_keys, src, msk, np.zeros(3), 1.0, n_shards)
+    res = halo.register_halo_sharded(
+        mesh4, jnp.asarray(p_r), jnp.asarray(m_r), tgt_sh,
+        se3.Pose.identity(), iterations=12, halo=h)
+
+    assert int(res.n_matched) == int(oracle.n_matched)
+    np.testing.assert_allclose(np.asarray(res.pose.t),
+                               np.asarray(oracle.pose.t), atol=1e-3)
+    qdot = abs(float(np.sum(np.asarray(res.pose.q)
+                            * np.asarray(oracle.pose.q))))
+    assert qdot > 1.0 - 1e-6
+    # and both recover the injected offset
+    rec = se3.compose(se3.Pose(res.pose.q, res.pose.t), T)
+    np.testing.assert_allclose(np.asarray(rec.t), 0.0, atol=0.05)
 
 
 def test_halo_exchange_fixes_boundary_lookups(mesh4):

@@ -143,6 +143,7 @@ def main(argv=None) -> int:
     from veloslam_tpu.config import MeshConfig
     from veloslam_tpu.core import se3
     from veloslam_tpu.io import simulate as sim
+    from veloslam_tpu.parallel import halo
     from veloslam_tpu.parallel import mesh as mesh_mod
     from veloslam_tpu.parallel import sharded
     from veloslam_tpu.registration import gicp
@@ -183,14 +184,32 @@ def main(argv=None) -> int:
         if base_t is None:
             base_t = t
         speedup = base_t / t
-        results.append({"devices": n, "ms": round(t * 1e3, 3),
-                        "speedup": round(speedup, 3),
-                        # parallel efficiency = speedup / n (the BASELINE
-                        # ">=70% at >=2 hosts" criterion reads directly off
-                        # this column)
-                        "efficiency": round(speedup / n, 3)})
-        print(f"map={n}: {t*1e3:8.3f} ms  speedup {base_t/t:5.2f}x",
-              file=sys.stderr)
+        row = {"devices": n, "ms": round(t * 1e3, 3),
+               "speedup": round(speedup, 3),
+               # parallel efficiency = speedup / n (the BASELINE
+               # ">=70% at >=2 hosts" criterion reads directly off
+               # this column)
+               "efficiency": round(speedup / n, 3)}
+
+        # Halo variant: scan ALSO sharded (routed by key range), map
+        # shards extended with ring-neighbor boundary bands — per-device
+        # match work drops as 1/D in points and rows.
+        keys_np = np.asarray(grid.grid.keys)
+        h = 2 * halo.required_halo(keys_np, n) + 16 if n > 1 else 1
+        p_r, m_r = halo.partition_points_by_key_ranges(
+            keys_np, np.asarray(pts), np.asarray(mask), np.zeros(3), 1.0,
+            n)
+
+        def run_halo(p, m, g):
+            return halo.register_halo_sharded(
+                mesh, p, m, g, se3.Pose.identity(),
+                iterations=args.iters, halo=h)
+        t_h = _timeit(run_halo, jnp.asarray(p_r), jnp.asarray(m_r),
+                      grid_sh)
+        row["halo_ms"] = round(t_h * 1e3, 3)
+        results.append(row)
+        print(f"map={n}: {t*1e3:8.3f} ms  speedup {base_t/t:5.2f}x  "
+              f"halo {t_h*1e3:8.3f} ms", file=sys.stderr)
     print(json.dumps({"metric": "map_sharded_register_scaling",
                       "platform": jax.devices()[0].platform,
                       "results": results}))

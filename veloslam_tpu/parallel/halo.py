@@ -13,7 +13,20 @@ the SLAM-shaped analog of ring-attention block exchange (SURVEY.md §5
 long-context).
 
 Shards stay fixed-capacity: the local table (V/D rows) is augmented with
-two HALO-row bands received from the left and right ring neighbors.
+two halo-row bands received from the left and right ring neighbors.
+
+Production entry points:
+  * `register_halo_sharded` — full Gauss-Newton registration with BOTH
+    the map and the query points sharded: points are routed to the shard
+    owning their voxel key range (`partition_points_by_key_ranges` on the
+    host, a no-op when multi-sensor ingestion already lands points on
+    their spatial owner), each device matches only its haloed local
+    table, and the 6×6 normal equations psum-reduce exactly like
+    `sharded.register_sharded`.  Per-device work drops as 1/D in points
+    AND table rows, vs 1/D table-only for the replicated-scan kernel.
+  * `required_halo` — the exact per-side band width that makes boundary
+    lookups equal to the unsharded oracle for a given table + shard
+    count (call it when building the target; add slack for pose motion).
 """
 
 from __future__ import annotations
@@ -23,13 +36,16 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from veloslam_tpu.core import se3
+from veloslam_tpu.registration import gicp
 from veloslam_tpu.registration import voxel as vx
 from veloslam_tpu.registration.gicp import PlaneGrid
 
-HALO = 256          # boundary rows exchanged per side
+HALO = 256          # default boundary rows exchanged per side
 
 
 class HaloedShard(NamedTuple):
@@ -40,17 +56,10 @@ class HaloedShard(NamedTuple):
     usable: jax.Array
 
 
-def exchange_and_extend(mesh: Mesh, target: PlaneGrid, axis: str = "map"
-                        ) -> PlaneGrid:
-    """Given a row-sharded PlaneGrid, return one whose every shard also
-    contains its ring neighbors' boundary bands (capacity grows by
-    2·HALO rows per shard).
-
-    After this, a point whose voxel lies within HALO rows of a shard
-    boundary finds its ±1-neighbor voxels locally — queries can then be
-    sharded by key range instead of replicated.
-    """
-
+@functools.lru_cache(maxsize=64)
+def _exchange_program(mesh: Mesh, axis: str, halo: int):
+    """Compiled ring halo exchange, cached per (mesh, axis, halo) so
+    repeated calls never retrace (jax.jit keys on function identity)."""
     specs_in = _plane_specs(axis)
     specs_out = _plane_specs(axis)
 
@@ -61,7 +70,7 @@ def exchange_and_extend(mesh: Mesh, target: PlaneGrid, axis: str = "map"
         n_dev = jax.lax.axis_size(axis)
 
         def band(lo: bool):
-            sl = slice(0, HALO) if lo else slice(-HALO, None)
+            sl = slice(0, halo) if lo else slice(-halo, None)
             return (g.keys[sl], g.count[sl], g.mean[sl], g.cov[sl],
                     shard.normal[sl], shard.usable[sl])
 
@@ -92,7 +101,22 @@ def exchange_and_extend(mesh: Mesh, target: PlaneGrid, axis: str = "map"
         return PlaneGrid(grid=new_grid, normal=normal[order],
                          usable=usable[order])
 
-    return f(target)
+    return jax.jit(f)
+
+
+def exchange_and_extend(mesh: Mesh, target: PlaneGrid, axis: str = "map",
+                        halo: int = HALO) -> PlaneGrid:
+    """Given a row-sharded PlaneGrid, return one whose every shard also
+    contains its ring neighbors' boundary bands (capacity grows by
+    2·halo rows per shard).
+
+    After this, a point whose voxel lies within `halo` rows of a shard
+    boundary finds its ±1-neighbor voxels locally — queries can then be
+    sharded by key range instead of replicated.  `required_halo` computes
+    the width that makes this exact for a given table.
+    """
+    halo = min(int(halo), target.grid.keys.shape[0] // mesh.shape[axis])
+    return _exchange_program(mesh, axis, halo)(target)
 
 
 def _plane_specs(axis: str) -> PlaneGrid:
@@ -102,12 +126,157 @@ def _plane_specs(axis: str) -> PlaneGrid:
         normal=P(axis), usable=P(axis))
 
 
-def sharded_query_local(mesh: Mesh, extended: PlaneGrid, pts, mask,
-                        axis: str = "map"):
-    """Demonstration query: points sharded by rows, each shard matching
-    only against its (haloed) local table.  Returns per-point voxel means
-    and hit mask, gathered back."""
+def _pack_keys_np(pts: np.ndarray, mask: np.ndarray, origin: np.ndarray,
+                  voxel_size: float, bits: int = 10) -> np.ndarray:
+    """Host-numpy mirror of voxel.pack_keys (int64 to dodge overflow)."""
+    half = 2 ** (bits - 1)
+    g = np.floor((np.asarray(pts, np.float64) - np.asarray(origin))
+                 / float(voxel_size)).astype(np.int64) + half
+    in_range = np.all((g >= 0) & (g < 2 ** bits), axis=-1)
+    key = (g[..., 0] << (2 * bits)) | (g[..., 1] << bits) | g[..., 2]
+    return np.where(np.asarray(mask, bool) & in_range, key,
+                    np.int64(vx.INVALID_KEY))
 
+
+def required_halo(table_keys, n_shards: int, bits: int = 10) -> int:
+    """Smallest per-side band width for which every ±1-voxel neighbor
+    lookup resolves inside the querying point's haloed shard.
+
+    The ±x neighbor is `1 << (2*bits)` away in key space — up to a full
+    x-plane of occupied voxels away in ROW space — so the fixed default
+    HALO can under-cover dense tables.  This computes, per shard boundary,
+    how many neighbor rows fall within one key stride of the boundary, and
+    returns the max.  Add slack (a few rows) if the pose will move points
+    across voxel boundaries during optimization.
+    """
+    keys = np.asarray(table_keys).astype(np.int64)
+    per = keys.shape[0] // n_shards
+    stride = np.int64(1 << (2 * bits))
+    need = 1
+    for s in range(1, n_shards):
+        b = s * per
+        left_last, right_first = keys[b - 1], keys[b]
+        if right_first >= vx.INVALID_KEY:
+            continue                      # right side is padding only
+        # rows the LEFT shard's points need from the right shard's head
+        n_right = int(np.searchsorted(keys[b:], left_last + stride,
+                                      side="right"))
+        # rows the RIGHT shard's points need from the left shard's tail
+        n_left = b - int(np.searchsorted(keys[:b], right_first - stride,
+                                         side="left"))
+        need = max(need, n_right, n_left)
+    return need
+
+
+def partition_points_by_key_ranges(table_keys, pts, mask, origin,
+                                   voxel_size, n_shards: int, *,
+                                   bits: int = 10, pad_multiple: int = 128):
+    """Host-side query router: group points by the shard owning their
+    voxel key range (shard s owns table rows [s·V/D, (s+1)·V/D)).
+
+    Returns (pts_out (D·C, 3), mask_out (D·C,)) laid out shard-major and
+    padded to a common per-shard capacity C — ready to shard with P(axis).
+    Invalid/out-of-range points land on shard 0 with mask False.  In a
+    multi-sensor deployment where each host's points already cover its own
+    key range this routing is the identity; here it is an explicit
+    O(N) host pass.
+    """
+    pts = np.asarray(pts, np.float32)
+    mask = np.asarray(mask, bool)
+    keys = _pack_keys_np(pts, mask, origin, voxel_size, bits)
+    valid = mask & (keys != vx.INVALID_KEY)
+    tkeys = np.asarray(table_keys).astype(np.int64)
+    per_rows = tkeys.shape[0] // n_shards
+    boundaries = tkeys[per_rows * np.arange(1, n_shards)]
+    owner = np.searchsorted(boundaries, keys, side="right")
+    owner = np.where(valid, owner, 0)
+    counts = np.bincount(owner[valid], minlength=n_shards)
+    cap = max(int(counts.max()), 1)
+    cap = -(-cap // pad_multiple) * pad_multiple
+    out_p = np.zeros((n_shards, cap, 3), np.float32)
+    out_m = np.zeros((n_shards, cap), bool)
+    for s in range(n_shards):
+        idx = np.nonzero(valid & (owner == s))[0]
+        out_p[s, :len(idx)] = pts[idx]
+        out_m[s, :len(idx)] = True
+    return out_p.reshape(-1, 3), out_m.reshape(-1)
+
+
+@functools.lru_cache(maxsize=64)
+def _halo_register_program(mesh: Mesh, axis: str, iterations: int,
+                           damping: float, huber_delta: float,
+                           max_dist: float, halo: int):
+    """Compiled exchange+GN program (one jit), cached per statics."""
+    exchange = _exchange_program(mesh, axis, halo)
+    specs = _plane_specs(axis)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), specs),
+        out_specs=(P(), P(), P(), P()), check_vma=False)
+    def ne(p_, m_, q_, t_, shard: PlaneGrid):
+        H, b, err, n = gicp.normal_equations(
+            p_, m_, se3.Pose(q_, t_), shard, huber_delta=huber_delta,
+            max_dist=max_dist)
+        w = n.astype(err.dtype)
+        return (jax.lax.psum(H, axis), jax.lax.psum(b, axis),
+                jax.lax.psum(err * w, axis), jax.lax.psum(n, axis))
+
+    def run(pts_, mask_, target_, init_q, init_t):
+        ext_ = exchange(target_)
+
+        def body(_, state):
+            pose, _, _ = state
+            H, b, err_sum, n_hit = ne(pts_, mask_, pose.q, pose.t, ext_)
+            err = err_sum / jnp.maximum(n_hit.astype(err_sum.dtype), 1.0)
+            Hd = H + (damping + 1e-6 * jnp.trace(H)) * jnp.eye(
+                6, dtype=H.dtype)
+            delta = -jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(Hd), b)
+            ok = jnp.all(jnp.isfinite(delta)) & (n_hit > 10)
+            delta = jnp.where(ok, delta, 0.0)
+            tn = jnp.linalg.norm(delta[3:])
+            rn = jnp.linalg.norm(delta[:3])
+            scale = jnp.minimum(1.0, jnp.minimum(
+                1.0 / jnp.maximum(tn, 1e-12), 0.3 / jnp.maximum(rn, 1e-12)))
+            return se3.retract(pose, delta * scale), err, n_hit
+
+        pose, err, n_hit = jax.lax.fori_loop(
+            0, iterations, body,
+            (se3.Pose(init_q, init_t), jnp.asarray(jnp.inf, jnp.float32),
+             jnp.asarray(0, jnp.int32)))
+        return pose.q, pose.t, err, n_hit
+
+    return jax.jit(run)
+
+
+def register_halo_sharded(mesh: Mesh, pts, mask, target: PlaneGrid,
+                          init_pose: se3.Pose, *, axis: str = "map",
+                          iterations: int = 16, damping: float = 1e-6,
+                          huber_delta: float = 0.5, max_dist: float = 2.0,
+                          halo: int = HALO) -> gicp.GicpResult:
+    """Gauss-Newton registration with the map AND the scan sharded.
+
+    `pts`/`mask` must be routed by key-range ownership (see
+    `partition_points_by_key_ranges`) and `target` row-sharded over
+    `axis`.  One halo exchange extends every map shard with its ring
+    neighbors' boundary bands; after that each GN iteration is purely
+    local matching + one 6×6 psum — identical collective cost to
+    `sharded.register_sharded`, but per-device match work also drops as
+    1/D.  Exactness requires `halo ≥ required_halo(...)` plus slack for
+    the pose correction (keep the prior within about a voxel).
+    """
+    halo = min(int(halo), target.grid.keys.shape[0] // mesh.shape[axis])
+    run = _halo_register_program(mesh, axis, iterations, damping,
+                                 huber_delta, max_dist, halo)
+    q, t, err, n_hit = run(pts, mask, target, init_pose.q, init_pose.t)
+    return gicp.GicpResult(pose=se3.Pose(q, t), n_matched=n_hit,
+                           mean_error=err,
+                           iterations=jnp.asarray(iterations, jnp.int32))
+
+
+@functools.lru_cache(maxsize=16)
+def _query_local_program(mesh: Mesh, axis: str):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(_plane_specs(axis), P(axis), P(axis)),
@@ -118,4 +287,12 @@ def sharded_query_local(mesh: Mesh, extended: PlaneGrid, pts, mask,
         mu = shard.grid.mean[jnp.maximum(idx, 0)]
         return jnp.where(hit[:, None], mu, 0.0), hit
 
-    return f(extended, pts, mask)
+    return jax.jit(f)
+
+
+def sharded_query_local(mesh: Mesh, extended: PlaneGrid, pts, mask,
+                        axis: str = "map"):
+    """Raw sharded lookup: points sharded by rows, each shard matching
+    only against its (haloed) local table.  Returns per-point voxel means
+    and hit mask, gathered back."""
+    return _query_local_program(mesh, axis)(extended, pts, mask)

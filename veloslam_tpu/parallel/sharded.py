@@ -70,14 +70,14 @@ def sharded_normal_equations(mesh: Mesh, pts, mask, pose: se3.Pose,
     return H, b, err, n
 
 
-def register_sharded(mesh: Mesh, pts, mask, target: PlaneGrid,
-                     init_pose: se3.Pose, *, iterations: int = 16,
-                     damping: float = 1e-6, huber_delta: float = 0.5,
-                     max_dist: float = 2.0) -> gicp.GicpResult:
-    """Gauss-Newton registration against a map-sharded target grid.
+@functools.lru_cache(maxsize=64)
+def _register_program(mesh: Mesh, iterations: int, damping: float,
+                      huber_delta: float, max_dist: float):
+    """Compiled map-sharded GN program, cached per (mesh, statics).
 
-    Same contract as gicp.register; the scan is replicated, the map is
-    sharded, and each iteration reduces one (6,6)+(6,) psum.
+    Rebuilding the closure per call would miss jax.jit's cache (it keys on
+    function identity) and recompile every registration — caching here
+    keeps repeated calls on the C++ dispatch fast path.
     """
 
     # Device arrays flow through as jit arguments (axon: never close over
@@ -106,14 +106,40 @@ def register_sharded(mesh: Mesh, pts, mask, target: PlaneGrid,
              jnp.asarray(0, jnp.int32)))
         return pose.q, pose.t, err, n_hit
 
-    q, t, err, n_hit = jax.jit(run)(pts, mask, target, init_pose.q,
-                                    init_pose.t)
+    return jax.jit(run)
+
+
+def register_sharded(mesh: Mesh, pts, mask, target: PlaneGrid,
+                     init_pose: se3.Pose, *, iterations: int = 16,
+                     damping: float = 1e-6, huber_delta: float = 0.5,
+                     max_dist: float = 2.0) -> gicp.GicpResult:
+    """Gauss-Newton registration against a map-sharded target grid.
+
+    Same contract as gicp.register; the scan is replicated, the map is
+    sharded, and each iteration reduces one (6,6)+(6,) psum.
+    """
+    run = _register_program(mesh, iterations, damping, huber_delta,
+                            max_dist)
+    q, t, err, n_hit = run(pts, mask, target, init_pose.q, init_pose.t)
     return gicp.GicpResult(pose=se3.Pose(q, t), n_matched=n_hit,
                            mean_error=err,
                            iterations=jnp.asarray(iterations, jnp.int32))
 
 
 # --- data-parallel decode ----------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _decode_program(mesh: Mesh, model: str, n_calib_fields: int):
+    calib_specs = DeviceCalib(*([P()] * n_calib_fields))
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P("data"), calib_specs),
+                       out_specs=P("data"), check_vma=False)
+    def f(pk_shard, calib_):
+        return decode_packets(pk_shard, calib_, model=model).xyz
+
+    return jax.jit(f)
+
 
 def decode_packets_sharded(mesh: Mesh, pkts_u8, calib: DeviceCalib, *,
                            model: str):
@@ -123,25 +149,14 @@ def decode_packets_sharded(mesh: Mesh, pkts_u8, calib: DeviceCalib, *,
     this is pure data parallelism; frame segmentation afterwards runs on
     the gathered azimuth array (tiny).
     """
-
-    calib_specs = DeviceCalib(*([P()] * len(calib)))
-
-    @functools.partial(shard_map, mesh=mesh,
-                       in_specs=(P("data"), calib_specs),
-                       out_specs=P("data"), check_vma=False)
-    def f(pk_shard, calib_):
-        return decode_packets(pk_shard, calib_, model=model).xyz
-
-    return f(pkts_u8, calib)
+    return _decode_program(mesh, model, len(calib))(pkts_u8, calib)
 
 
 # --- edge-sharded pose-graph assembly ----------------------------------------
 
-def solve_graph_step_sharded(mesh: Mesh, g: GraphArrays, *, max_poses: int,
-                             damping: float = 1e-4,
-                             prior_weight: float = 1e6):
-    """One distributed Gauss-Newton step: edges sharded over "map", dense
-    normal equations psum-reduced, replicated solve, retract."""
+@functools.lru_cache(maxsize=64)
+def _graph_step_program(mesh: Mesh, max_poses: int, damping: float,
+                        prior_weight: float):
     K = max_poses
 
     edge_specs = GraphArrays(
@@ -171,4 +186,12 @@ def solve_graph_step_sharded(mesh: Mesh, g: GraphArrays, *, max_poses: int,
                           jnp.where(mask, delta, 0.0))
         return g_in._replace(q=new.q, t=new.t), cost
 
-    return jax.jit(step)(g)
+    return jax.jit(step)
+
+
+def solve_graph_step_sharded(mesh: Mesh, g: GraphArrays, *, max_poses: int,
+                             damping: float = 1e-4,
+                             prior_weight: float = 1e6):
+    """One distributed Gauss-Newton step: edges sharded over "map", dense
+    normal equations psum-reduced, replicated solve, retract."""
+    return _graph_step_program(mesh, max_poses, damping, prior_weight)(g)
