@@ -87,3 +87,21 @@ def test_sharded_graph_step_matches_single(mesh8):
     np.testing.assert_allclose(np.asarray(stepped.t), np.asarray(single.t),
                                atol=1e-3)
     assert float(cost) > 0
+
+
+def test_compiled_programs_are_cached(mesh8):
+    """Same (mesh, statics) must return the SAME compiled callable —
+    rebuilding per call would make jax.jit recompile every invocation."""
+    from veloslam_tpu.parallel import halo
+    assert sharded._register_program(mesh8, 8, 1e-6, 0.5, 2.0) is \
+        sharded._register_program(mesh8, 8, 1e-6, 0.5, 2.0)
+    assert sharded._decode_program(mesh8, "hdl32", 8) is \
+        sharded._decode_program(mesh8, "hdl32", 8)
+    assert sharded._graph_step_program(mesh8, 32, 1e-4, 1e6) is \
+        sharded._graph_step_program(mesh8, 32, 1e-4, 1e6)
+    assert halo._halo_register_program(mesh8, "map", 8, 1e-6, 0.5, 2.0,
+                                       64) is \
+        halo._halo_register_program(mesh8, "map", 8, 1e-6, 0.5, 2.0, 64)
+    # different statics miss
+    assert sharded._register_program(mesh8, 8, 1e-6, 0.5, 2.0) is not \
+        sharded._register_program(mesh8, 16, 1e-6, 0.5, 2.0)
