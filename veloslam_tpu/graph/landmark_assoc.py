@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,6 +21,25 @@ from veloslam_tpu.core import se3
 from veloslam_tpu.graph.posegraph import PoseGraph
 from veloslam_tpu.map.landmarks import extract_posts
 from veloslam_tpu.registration import voxel as vx
+
+
+def _posts_from_host_grid(keys, count, mean, cov,
+                          voxel_size: float) -> np.ndarray:
+    occ = keys != vx.INVALID_KEY
+    if not occ.any():
+        return np.zeros((0, 3))
+    keys = keys[occ]
+    bits, half = 10, 512
+    axis_mask = (1 << bits) - 1
+    coords = np.stack([(keys >> (2 * bits)) & axis_mask,
+                       (keys >> bits) & axis_mask,
+                       keys & axis_mask], -1) - half
+    posts = extract_posts(coords, count[occ], mean[occ], cov[occ],
+                          voxel_size)
+    if len(posts) == 0:
+        return np.zeros((0, 3))
+    return np.stack([posts[:, 0], posts[:, 1],
+                     posts[:, 2] + 0.5 * posts[:, 3]], -1)
 
 
 def extract_scan_posts(pts: np.ndarray, mask: np.ndarray,
@@ -32,23 +52,44 @@ def extract_scan_posts(pts: np.ndarray, mask: np.ndarray,
     grid = vx.build_grid(jnp.asarray(pts, jnp.float32), jnp.asarray(mask),
                          jnp.zeros(3, jnp.float32), voxel_size,
                          capacity=capacity)
-    occ = np.asarray(grid.occupied)
-    if not occ.any():
-        return np.zeros((0, 3))
-    keys = np.asarray(grid.keys)[occ]
-    bits, half = 10, 512
-    axis_mask = (1 << bits) - 1
-    coords = np.stack([(keys >> (2 * bits)) & axis_mask,
-                       (keys >> bits) & axis_mask,
-                       keys & axis_mask], -1) - half
-    count = np.asarray(grid.count)[occ]
-    mean = np.asarray(grid.mean)[occ]
-    cov = np.asarray(grid.cov)[occ]
-    posts = extract_posts(coords, count, mean, cov, voxel_size)
-    if len(posts) == 0:
-        return np.zeros((0, 3))
-    return np.stack([posts[:, 0], posts[:, 1],
-                     posts[:, 2] + 0.5 * posts[:, 3]], -1)
+    return _posts_from_host_grid(
+        np.asarray(grid.keys), np.asarray(grid.count),
+        np.asarray(grid.mean), np.asarray(grid.cov), voxel_size)
+
+
+def extract_scan_posts_batch(pts: np.ndarray, mask: np.ndarray,
+                             voxel_size: float = 0.5,
+                             capacity: int = 8192) -> List[np.ndarray]:
+    """Per-scan post detection for K stacked scans: the voxelization runs
+    as fixed-chunk vmapped device programs with ONE stacked readback per
+    chunk (a per-scan loop pays ~6 device round-trips per keyframe)."""
+    from veloslam_tpu.map.voxelmap import _BATCH_CHUNK, \
+        _transform_build_chunk
+
+    K = len(pts)
+    out: List[np.ndarray] = []
+    ident_q = np.zeros((_BATCH_CHUNK, 4), np.float32)
+    ident_q[:, 0] = 1.0
+    zeros3 = np.zeros((_BATCH_CHUNK, 3), np.float32)
+    for s0 in range(0, K, _BATCH_CHUNK):
+        n = min(_BATCH_CHUNK, K - s0)
+        pad = _BATCH_CHUNK - n
+        p = np.concatenate([np.asarray(pts[s0:s0 + n], np.float32)]
+                           + ([np.zeros((pad,) + pts.shape[1:],
+                                        np.float32)] if pad else []))
+        m = np.concatenate([np.asarray(mask[s0:s0 + n], bool)]
+                           + ([np.zeros((pad,) + mask.shape[1:], bool)]
+                              if pad else []))
+        grids = _transform_build_chunk(
+            jnp.asarray(p), jnp.asarray(m), jnp.asarray(ident_q),
+            jnp.asarray(zeros3), jnp.asarray(zeros3),
+            jnp.asarray(voxel_size, jnp.float32), capacity=capacity)
+        host = jax.tree.map(np.asarray, grids)
+        for k in range(n):
+            out.append(_posts_from_host_grid(
+                host.keys[k], host.count[k], host.mean[k], host.cov[k],
+                voxel_size))
+    return out
 
 
 def associate_and_add(graph: PoseGraph,

@@ -26,15 +26,35 @@ subset of tiles.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from veloslam_tpu.config import MapConfig
+from veloslam_tpu.core import se3
 from veloslam_tpu.map.landmarks import Landmarks
 from veloslam_tpu.registration import voxel as vx
+
+# Fixed chunk for batched scan integration: one compiled shape forever.
+_BATCH_CHUNK = 64
+
+
+@functools.partial(jax.jit, static_argnames=("capacity",))
+def _transform_build_chunk(pts, msk, q, t, origins, voxel_size, *,
+                           capacity: int):
+    """Transform a chunk of frame-local scans by their world poses and
+    voxelize each — ONE device program + one stacked readback replaces the
+    per-scan dispatch loop (map rebuilds touch every keyframe; on high-
+    dispatch-latency backends the loop was the dominant cost)."""
+    def one(p, m, qq, tt, org):
+        pw = se3.apply(se3.Pose(qq, tt), p)
+        return vx.build_grid(pw, m, org, voxel_size, capacity=capacity)
+
+    return jax.vmap(one)(pts, msk, q, t, origins)
 
 
 class MapPatchData:
@@ -213,6 +233,57 @@ class VoxelMap:
         if sign != 1.0:
             grid = grid._replace(count=grid.count * sign)
         self.integrate_grid(grid, sign=sign, tile_filter=tile_filter)
+
+    def integrate_scans_batch(self, pts, msk, q, t, signs=None,
+                              tile_filter=None) -> None:
+        """Integrate K posed scans through fixed-chunk batched device
+        programs: `pts` (K, P, 3) FRAME-LOCAL points with `msk` (K, P),
+        `q`/`t` (K, 4)/(K, 3) world poses, optional per-scan `signs`
+        (−1 downdates).  Each chunk of `_BATCH_CHUNK` scans is transformed
+        + voxelized in one dispatch and read back stacked, so a full map
+        rebuild costs ⌈K/64⌉ device round-trips instead of ~6·K."""
+        K = len(pts)
+        if K == 0:
+            return
+        vs = self.cfg.voxel_size
+        signs = (np.ones(K, np.float64) if signs is None
+                 else np.asarray(signs, np.float64))
+        origins = np.floor(np.asarray(t, np.float64)[:, :3] / vs) * vs
+        cap = self.cfg.voxels_per_patch
+        ch = _BATCH_CHUNK
+        pts = np.asarray(pts, np.float32)
+        msk = np.asarray(msk, bool)
+        q = np.asarray(q, np.float32)
+        t = np.asarray(t, np.float32)
+        for s0 in range(0, K, ch):
+            n = min(ch, K - s0)
+            pad = ch - n
+
+            def padded(a, s0=s0, n=n, pad=pad):
+                sl = a[s0:s0 + n]
+                if not pad:
+                    return sl
+                return np.concatenate(
+                    [sl, np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+            pq = padded(q)
+            if pad:
+                pq[n:, 0] = 1.0          # identity quats in pad slots
+            grids = _transform_build_chunk(
+                jnp.asarray(padded(pts)), jnp.asarray(padded(msk)),
+                jnp.asarray(pq), jnp.asarray(padded(t)),
+                jnp.asarray(padded(origins.astype(np.float32))),
+                jnp.asarray(vs, jnp.float32), capacity=cap)
+            host = jax.tree.map(np.asarray, grids)   # one stacked readback
+            for k in range(n):
+                g = vx.VoxelGrid(
+                    keys=host.keys[k],
+                    count=host.count[k] * signs[s0 + k],
+                    mean=host.mean[k], cov=host.cov[k],
+                    origin=host.origin[k],
+                    voxel_size=host.voxel_size[k])
+                self.integrate_grid(g, sign=float(signs[s0 + k]),
+                                    tile_filter=tile_filter)
 
     def deintegrate_points(self, pts_world: np.ndarray, mask: np.ndarray,
                            center: np.ndarray) -> None:

@@ -60,6 +60,9 @@ class DistributedSlamSession(SlamPipeline):
             pts_world, mask, center=center, sign=sign,
             tile_filter=self.owns_tile)
 
+    def _tile_filter(self):
+        return self.owns_tile
+
     # --- globally-sharded registration ----------------------------------------
 
     def _roi_rows(self, x: float, y: float):

@@ -419,6 +419,15 @@ class SlamPipeline:
         with self.timers.stage("kf_readback"):
             kfs = eng.keyframes()
             descs = np.asarray(eng.ring.desc[:kfs["n"]])
+        # Consecutive-keyframe odometry edges in ONE vmapped program +
+        # one readback (a per-k se3.relative loop costs 2 device
+        # round-trips per keyframe).
+        if kfs["n"] > 1:
+            qs, ts = jnp.asarray(kfs["q"]), jnp.asarray(kfs["t"])
+            rel = jax.vmap(lambda qa, ta, qb, tb: se3.relative(
+                se3.Pose(qa, ta), se3.Pose(qb, tb)))(
+                    qs[:-1], ts[:-1], qs[1:], ts[1:])
+            rel_q, rel_t = np.asarray(rel.q), np.asarray(rel.t)
         for k in range(kfs["n"]):
             self.graph.add_pose(kfs["q"][k], kfs["t"][k])
             self.keyframe_scans.append((kfs["pts"][k], kfs["msk"][k]))
@@ -429,12 +438,8 @@ class SlamPipeline:
             self._kf_pose_at_creation.append((kfs["q"][k].copy(),
                                               kfs["t"][k].copy()))
             if k > 0:
-                rel = se3.relative(_np_pose(kfs["q"][k - 1],
-                                            kfs["t"][k - 1]),
-                                   _np_pose(kfs["q"][k], kfs["t"][k]))
-                self.graph.add_edge(k - 1, k, np.asarray(rel.q),
-                                    np.asarray(rel.t),
-                                info=self.cfg.graph.odom_edge_info)
+                self.graph.add_edge(k - 1, k, rel_q[k - 1], rel_t[k - 1],
+                                    info=self.cfg.graph.odom_edge_info)
         # Materialize the tiled map from the keyframe scans (the rolling
         # device grid was odometry's working set, not the product map).
         with self.timers.stage("map_build"):
@@ -679,6 +684,11 @@ class SlamPipeline:
         (map_obj or self.map).integrate_points(pts_world, mask,
                                                center=center, sign=sign)
 
+    def _tile_filter(self):
+        """Tile-ownership predicate for batched map integration (None =
+        keep everything; the distributed session returns its owns_tile)."""
+        return None
+
     def _handle_frame(self, frame: Dict, start_us: int,
                       source: Optional[tuple] = None) -> None:
         rc = self.cfg.registration
@@ -799,8 +809,17 @@ class SlamPipeline:
                                            _np_pose(q[j], t[j]))))
         if gc.use_scan_context and len(self.keyframe_descs) >= 2:
             from veloslam_tpu.graph import scancontext as sc_mod
-            scores, shifts = sc_mod.descriptor_scores(
-                jnp.asarray(np.stack(self.keyframe_descs)))
+            # Pad the descriptor stack to a power-of-two bucket: the
+            # all-pairs program then compiles a handful of times per
+            # session instead of once per sweep size (zero descriptors
+            # score 0 and are excluded via n_valid).
+            descs = np.stack(self.keyframe_descs)
+            bucket = max(16, 1 << int(np.ceil(np.log2(len(descs)))))
+            if len(descs) < bucket:
+                descs = np.concatenate(
+                    [descs, np.zeros((bucket - len(descs),)
+                                     + descs.shape[1:], descs.dtype)])
+            scores, shifts = sc_mod.descriptor_scores(jnp.asarray(descs))
             for i, j, _, shift in sc_mod.propose(
                     np.asarray(scores), np.asarray(shifts),
                     n_valid=len(self.keyframe_descs),
@@ -822,18 +841,31 @@ class SlamPipeline:
         accepted = 0
         if new:
             # All candidates of the sweep verify in one batched program
-            # (vmapped grid build + stacked-target register_batch).
-            pi = jnp.asarray(np.stack([self.keyframe_scans[i][0]
-                                       for i, _ in new]))
-            mi = jnp.asarray(np.stack([self.keyframe_scans[i][1]
-                                       for i, _ in new]))
-            pj = jnp.asarray(np.stack([self.keyframe_scans[j][0]
-                                       for _, j in new]))
-            mj = jnp.asarray(np.stack([self.keyframe_scans[j][1]
-                                       for _, j in new]))
+            # (vmapped grid build + stacked-target register_batch), PADDED
+            # to the sweep cap so the program compiles once per process —
+            # a per-count shape would recompile on every sweep size.
+            cap = self.cfg.graph.max_closure_candidates_per_sweep
+            pad = cap - len(new)
+            z_p = np.zeros_like(self.keyframe_scans[0][0])
+            z_m = np.zeros_like(self.keyframe_scans[0][1])
+            pi = jnp.asarray(np.stack(
+                [self.keyframe_scans[i][0] for i, _ in new]
+                + [z_p] * pad))
+            mi = jnp.asarray(np.stack(
+                [self.keyframe_scans[i][1] for i, _ in new]
+                + [z_m] * pad))
+            pj = jnp.asarray(np.stack(
+                [self.keyframe_scans[j][0] for _, j in new]
+                + [z_p] * pad))
+            mj = jnp.asarray(np.stack(
+                [self.keyframe_scans[j][1] for _, j in new]
+                + [z_m] * pad))
+            ident = se3.Pose.identity()
             rel_priors = se3.Pose(
-                jnp.stack([p.q for _, _, p in new_p]),
-                jnp.stack([p.t for _, _, p in new_p]))
+                jnp.stack([p.q for _, _, p in new_p]
+                          + [ident.q] * pad),
+                jnp.stack([p.t for _, _, p in new_p]
+                          + [ident.t] * pad))
             with self.timers.stage("loop_verify"):
                 measures = loopclosure.verify_closures_batch(
                     pi, mi, pj, mj, rel_priors,
@@ -868,23 +900,30 @@ class SlamPipeline:
         contributions are not tracked and remain as integrated).  Returns
         the number of keyframes re-integrated."""
         q, t = self.graph.poses()
-        moved = 0
-        for k, (pts, mask) in enumerate(self.keyframe_scans):
-            old_q, old_t = self._kf_map_pose[k]
-            if np.linalg.norm(t[k] - old_t) < move_threshold_m and \
-                    abs(float(np.dot(q[k], old_q))) > 0.999995:
-                continue
-            old_pose = _np_pose(old_q, old_t)
-            new_pose = _np_pose(q[k], t[k])
-            jpts = jnp.asarray(pts)
-            self._integrate_scan(
-                np.asarray(se3.apply(old_pose, jpts)), mask,
-                center=old_t, sign=-1.0)
-            self._integrate_scan(
-                np.asarray(se3.apply(new_pose, jpts)), mask, center=t[k])
+        moved_k = [
+            k for k in range(len(self.keyframe_scans))
+            if not (np.linalg.norm(t[k] - self._kf_map_pose[k][1])
+                    < move_threshold_m
+                    and abs(float(np.dot(q[k], self._kf_map_pose[k][0])))
+                    > 0.999995)]
+        if not moved_k:
+            return 0
+        # One batched pass: downdate every moved scan at its old pose
+        # (sign −1), re-add at the new pose — 2·M entries, chunked device
+        # programs instead of ~12·M dispatch round-trips.
+        pts = np.stack([self.keyframe_scans[k][0] for k in moved_k] * 2)
+        msk = np.stack([self.keyframe_scans[k][1] for k in moved_k] * 2)
+        qs = np.stack([self._kf_map_pose[k][0] for k in moved_k]
+                      + [q[k] for k in moved_k])
+        ts = np.stack([self._kf_map_pose[k][1] for k in moved_k]
+                      + [t[k] for k in moved_k])
+        signs = np.concatenate([-np.ones(len(moved_k)),
+                                np.ones(len(moved_k))])
+        self.map.integrate_scans_batch(pts, msk, qs, ts, signs=signs,
+                                       tile_filter=self._tile_filter())
+        for k in moved_k:
             self._kf_map_pose[k] = (q[k].copy(), t[k].copy())
-            moved += 1
-        return moved
+        return len(moved_k)
 
     def rebuild_map(self) -> None:
         """Re-integrate all keyframe scans with their optimized graph poses
@@ -893,11 +932,13 @@ class SlamPipeline:
         layer has no producers)."""
         q, t = self.graph.poses()
         fresh = VoxelMap(self.cfg.map, spill_dir=self.map.spill_dir)
-        for k, (pts, mask) in enumerate(self.keyframe_scans):
-            pose = _np_pose(q[k], t[k])
-            pts_w = np.asarray(se3.apply(pose, jnp.asarray(pts)))
-            self._integrate_scan(pts_w, mask, center=t[k], map_obj=fresh)
-            if k < len(self._kf_map_pose):
+        K = len(self.keyframe_scans)
+        if K:
+            fresh.integrate_scans_batch(
+                np.stack([p for p, _ in self.keyframe_scans]),
+                np.stack([m for _, m in self.keyframe_scans]),
+                q[:K], t[:K], tile_filter=self._tile_filter())
+            for k in range(min(K, len(self._kf_map_pose))):
                 self._kf_map_pose[k] = (q[k].copy(), t[k].copy())
         self.map = fresh
 
@@ -944,8 +985,9 @@ class SlamPipeline:
         gc = self.cfg.graph
         from veloslam_tpu.graph import landmark_assoc as la
         with self.timers.stage("landmarks"):
-            det = [la.extract_scan_posts(pts, mask)
-                   for pts, mask in self.keyframe_scans]
+            det = la.extract_scan_posts_batch(
+                np.stack([p for p, _ in self.keyframe_scans]),
+                np.stack([m for _, m in self.keyframe_scans]))
             return la.associate_and_add(
                 self.graph, det, radius=gc.landmark_cluster_radius_m,
                 min_observations=gc.landmark_min_observations,
