@@ -16,17 +16,23 @@ Two configs, named honestly:
    descriptors in the same program, then loop-closure proposal
    (descriptor matmuls) + batched GICP verification + pose-graph solve +
    tiled-map rebuild + per-frame trajectory correction.  Wall-clock of
-   everything after the pcap is in memory.
+   everything after the pcap is in memory (ONE measured run; the jit
+   cache is pre-warmed by a short scout drive).
 
-`extra.ab` carries the A/B of the Pallas fused normal equations and the
-dense O(1) correspondence index on this backend (ms per bulk batch).
+Output protocol (driver-budget-safe): the headline JSON line is printed
+and FLUSHED immediately after the bulk stage, so a timeout in a later
+stage can never erase the measured number.  After the optional stages an
+extended JSON line (same metric/value, richer `extra`) is printed; parsing
+either the first or the last JSON line of stdout yields a valid record.
+Every optional stage runs under the `--full-budget-s` wall-clock guard
+and is skipped (recorded as such) once the budget is spent.
 
 vs_baseline compares the bulk metric against a single-CPU-core run of the
 same program (BASELINE.md target: >10x single-CPU-core frames/s), measured
 with `taskset -c 0 python bench.py --cpu-reference` (single-threaded XLA)
-and recorded in REFERENCE_CPU_FPS.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+and recorded in REFERENCE_CPU_FPS.  The constant is guarded by a config
+signature: if the bulk config changes, vs_baseline is reported as null
+until the reference is re-measured (it cannot silently go stale).
 """
 
 import argparse
@@ -37,13 +43,6 @@ import time
 
 import numpy as np
 
-# Single-CPU-core frames/s of the same bulk step, measured with:
-#   taskset -c 0 env XLA_FLAGS="--xla_cpu_multi_thread_eigen=false \
-#     intra_op_parallelism_threads=1" JAX_PLATFORMS=cpu \
-#     python bench.py --cpu-reference
-# on this container's host CPU (see BASELINE.md), 16384-pkt/96-slot config.
-REFERENCE_CPU_FPS = 1.766
-
 BATCH_PACKETS = 16384    # ≈ 90.6 HDL-32 revolutions per dispatched program
 MAX_FRAMES_BATCH = 96
 HDL32_PACKETS_PER_SECOND = 1e6 / 46.08 / 12      # ≈ 1808.4
@@ -51,6 +50,36 @@ FRAMES_PER_BATCH = BATCH_PACKETS / HDL32_PACKETS_PER_SECOND * 10.0
 REG_POINTS = 32768
 REG_ITERATIONS = 16
 MAP_CAPACITY = 32768
+
+# Single-CPU-core frames/s of the same bulk step, measured with:
+#   taskset -c 0 env XLA_FLAGS="--xla_cpu_multi_thread_eigen=false \
+#     intra_op_parallelism_threads=1" JAX_PLATFORMS=cpu \
+#     python bench.py --cpu-reference
+# on this container's host CPU (see BASELINE.md).  REFERENCE_CPU_CONFIG
+# pins the bulk config the number was measured under; main() nulls
+# vs_baseline if the live config no longer matches.
+REFERENCE_CPU_FPS = 1.766
+REFERENCE_CPU_CONFIG = "pkts16384-slots96-pts32768-iters16-map32768"
+
+
+def config_signature() -> str:
+    return (f"pkts{BATCH_PACKETS}-slots{MAX_FRAMES_BATCH}-pts{REG_POINTS}"
+            f"-iters{REG_ITERATIONS}-map{MAP_CAPACITY}")
+
+
+class Budget:
+    """Wall-clock guard for the optional stages: once `spent()` crosses
+    the limit, later stages are skipped (and say so in `extra`)."""
+
+    def __init__(self, seconds: float):
+        self.limit = seconds
+        self.t0 = time.perf_counter()
+
+    def spent(self) -> float:
+        return time.perf_counter() - self.t0
+
+    def remaining(self) -> float:
+        return self.limit - self.spent()
 
 
 def _build_inputs(seed=0, batch_packets=BATCH_PACKETS):
@@ -131,22 +160,17 @@ def run_bulk(iters=8, warmup=2, batch_packets=BATCH_PACKETS,
     return frames_per_batch / t_step, t_step
 
 
-def run_full_slam(duration_s=12.0, batch=16384):
-    """End-to-end full SLAM: run_offline_batched + finalize on a loop
-    drive with drifting INS (closures must fire).  Returns a metrics dict;
-    wall time covers everything after packets are in host memory (the
-    second run — jit cache warm — is the steady-state number)."""
+def _make_drive(duration_s, seed=3, drift=1.0):
+    """Simulated loop drive with drifting INS (closures must fire).
+    Returns (paths, seq)."""
     import tempfile
 
-    from veloslam_tpu.config import GraphConfig, SlamConfig
     from veloslam_tpu.io import packets as pkmod
     from veloslam_tpu.io import simulate as sim
-    from veloslam_tpu.runtime.evaluate import ate, interpolate_positions
-    from veloslam_tpu.runtime.pipeline import SlamPipeline
 
     d = tempfile.mkdtemp()
     seq = sim.generate_sequence(
-        duration_s=duration_s, model="hdl32", seed=3,
+        duration_s=duration_s, model="hdl32", seed=seed,
         world=sim.World.demo(3, extent=40.0, n_posts=40, n_walls=16),
         trajectory=sim.circle_trajectory(radius=15.0, speed=8.0))
     paths = sim.write_sequence(seq, d, name="bench")
@@ -154,22 +178,39 @@ def run_full_slam(duration_s=12.0, batch=16384):
     ts = (ins["t_us"] - ins["t_us"][0]) * 1e-6
     pkmod.write_ins_txt(paths["ins"], ins["t_us"],
                         ins["pos_xy"] + np.stack(
-                            [np.zeros_like(ts), 1.0 * ts], -1),
+                            [np.zeros_like(ts), drift * ts], -1),
                         np.deg2rad(ins["yaw_deg"]), speed=ins["speed"])
+    return paths, seq
 
-    def cfg():
-        return SlamConfig(graph=GraphConfig(loop_closure_min_gap=12,
-                                            sc_min_score=0.55))
 
-    def run():
-        pipe = SlamPipeline(cfg())
-        t0 = time.perf_counter()
-        pipe.run_offline_batched(paths["pcap"], paths["ins"], batch=batch)
-        res = pipe.finalize()
-        return res, time.perf_counter() - t0
+def _slam_cfg():
+    from veloslam_tpu.config import GraphConfig, SlamConfig
+    return SlamConfig(graph=GraphConfig(loop_closure_min_gap=12,
+                                        sc_min_score=0.55))
 
-    run()                      # warm the jit cache
-    res, wall = run()
+
+def run_full_slam(duration_s=12.0, batch=16384, warm_s=2.0):
+    """End-to-end full SLAM: run_offline_batched + finalize on a loop
+    drive.  ONE measured run; the jit cache is warmed by a short scout
+    drive first (shape-stable tail programs are padded to fixed caps, so
+    the scout warms them too).  Wall time covers everything after packets
+    are in host memory."""
+    from veloslam_tpu.runtime.evaluate import ate, interpolate_positions
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    if warm_s:
+        wpaths, _ = _make_drive(warm_s, seed=5)
+        scout = SlamPipeline(_slam_cfg())
+        scout.run_offline_batched(wpaths["pcap"], wpaths["ins"],
+                                  batch=batch)
+        scout.finalize()
+
+    paths, seq = _make_drive(duration_s)
+    pipe = SlamPipeline(_slam_cfg())
+    t0 = time.perf_counter()
+    pipe.run_offline_batched(paths["pcap"], paths["ins"], batch=batch)
+    res = pipe.finalize()
+    wall = time.perf_counter() - t0
     ref = interpolate_positions(res["times_us"], seq["ins_t_us"],
                                 seq["ins_pos"])
     m = ate(res["positions"][:, :2], ref[:, :2], align=False)
@@ -185,27 +226,66 @@ def run_full_slam(duration_s=12.0, batch=16384):
     }
 
 
+def run_live(duration_s=5.0, rate=1.0):
+    """Live-mode measurement on this backend: loopback-replay a simulated
+    drive through run_online at `rate`x the sensor's packet rate; record
+    sustained pkt/s, drops, and whether the pipeline kept up (the
+    reference's pacing baseline, PacketFileSender.cxx:78)."""
+    from veloslam_tpu.apps.replay import measure_live_loopback
+    return measure_live_loopback(duration_s=duration_s, rate=rate)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-reference", action="store_true",
                     help="measure the single-core CPU reference number")
     ap.add_argument("--skip-full", action="store_true",
-                    help="bulk + A/B only")
-    ap.add_argument("--skip-ab", action="store_true")
+                    help="bulk stage only")
+    ap.add_argument("--ab", action="store_true",
+                    help="run the Pallas/dense-index A/B (a documented "
+                         "loser on this backend — off by default)")
+    ap.add_argument("--live", action="store_true",
+                    help="measure live loopback ingest on this backend")
+    ap.add_argument("--full-duration-s", type=float, default=6.0)
+    ap.add_argument("--full-budget-s", type=float, default=600.0,
+                    help="wall-clock budget for the optional stages; "
+                         "stages are skipped once it is spent")
     args = ap.parse_args()
     if args.cpu_reference:
         import jax
         jax.config.update("jax_platforms", "cpu")
         fps, t_step = run_bulk(iters=3, warmup=1)
         print(f"# cpu reference: {fps:.3f} frames/s "
-              f"({t_step*1e3:.1f} ms/batch)")
+              f"({t_step*1e3:.1f} ms/batch)  config={config_signature()}")
         return 0
 
     inputs = _build_inputs()
     fps, t_step = run_bulk(inputs=inputs)
-    extra = {"bulk_ms_per_batch": round(t_step * 1e3, 3)}
+    extra = {"bulk_ms_per_batch": round(t_step * 1e3, 3),
+             "config": config_signature()}
+    vs = (round(fps / REFERENCE_CPU_FPS, 3)
+          if config_signature() == REFERENCE_CPU_CONFIG else None)
+    result = {
+        "metric": "hdl32_bulk_odometry_frames_per_s_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": vs,
+        "extra": extra,
+    }
+    # Headline line FIRST — a later-stage timeout can never erase it.
+    print(json.dumps(result), flush=True)
+    print(f"# bulk odometry ({BATCH_PACKETS} pkts = "
+          f"{FRAMES_PER_BATCH:.1f} frames, {MAX_FRAMES_BATCH} reg slots x "
+          f"{REG_POINTS} pts x {REG_ITERATIONS} GN iters): "
+          f"{t_step*1e3:.2f} ms/batch", file=sys.stderr, flush=True)
+    if vs is None:
+        print("# vs_baseline null: bulk config changed since the CPU "
+              "reference was measured — rerun --cpu-reference",
+              file=sys.stderr)
 
-    if not args.skip_ab:
+    budget = Budget(args.full_budget_s)
+
+    if args.ab:
         # A/B: fused-Pallas normal equations and dense O(1) index, same
         # program otherwise (recorded per backend so the default can be
         # chosen from a committed measurement).
@@ -228,27 +308,37 @@ def main():
                 extra["ab"]["pallas_fused_ms"] = f"error: {e}"[:200]
 
     if not args.skip_full:
-        extra["full_slam"] = run_full_slam()
-        extra["full_slam_frames_per_s"] = extra["full_slam"]["frames_per_s"]
+        if budget.remaining() > 0:
+            try:
+                extra["full_slam"] = run_full_slam(
+                    duration_s=args.full_duration_s)
+                extra["full_slam_frames_per_s"] = \
+                    extra["full_slam"]["frames_per_s"]
+                fs = extra["full_slam"]
+                print(f"# full SLAM (keyframes+closures+graph+map): "
+                      f"{fs['frames_per_s']} frames/s = "
+                      f"{fs['x_realtime']}x realtime, "
+                      f"ATE {fs['ate_rmse_m']} m, "
+                      f"{fs['n_closures']} closures",
+                      file=sys.stderr, flush=True)
+            except Exception as e:
+                extra["full_slam"] = f"error: {e}"[:300]
+        else:
+            extra["full_slam"] = "skipped: budget spent"
 
-    result = {
-        "metric": "hdl32_bulk_odometry_frames_per_s_per_chip",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / REFERENCE_CPU_FPS, 3),
-        "extra": extra,
-    }
-    print(json.dumps(result))
-    print(f"# bulk odometry ({BATCH_PACKETS} pkts = "
-          f"{FRAMES_PER_BATCH:.1f} frames, {MAX_FRAMES_BATCH} reg slots x "
-          f"{REG_POINTS} pts x {REG_ITERATIONS} GN iters): "
-          f"{t_step*1e3:.2f} ms/batch", file=sys.stderr)
-    if "full_slam" in extra:
-        fs = extra["full_slam"]
-        print(f"# full SLAM (keyframes+closures+graph+map): "
-              f"{fs['frames_per_s']} frames/s = {fs['x_realtime']}x "
-              f"realtime, ATE {fs['ate_rmse_m']} m, "
-              f"{fs['n_closures']} closures", file=sys.stderr)
+    if args.live:
+        if budget.remaining() > 0:
+            try:
+                extra["live"] = run_live()
+            except Exception as e:
+                extra["live"] = f"error: {e}"[:300]
+        else:
+            extra["live"] = "skipped: budget spent"
+
+    # Extended line LAST — same metric/value; parsing either the first or
+    # the last JSON line of stdout yields a valid record.
+    result["extra"] = extra
+    print(json.dumps(result), flush=True)
     return 0
 
 

@@ -147,3 +147,66 @@ def test_halo_exchange_fixes_boundary_lookups(mesh4):
         if full_idx[k] >= 0:
             np.testing.assert_allclose(np.asarray(ext_mu)[k],
                                        means[full_idx[k]], atol=1e-5)
+
+
+def test_required_halo_covers_gap_voxel_queries():
+    """ADVICE r2: a query can sit in an UNOCCUPIED voxel in the key gap
+    spanning a shard boundary — routing assigns keys in
+    [left_last+1, right_first) to the left shard, so its probes reach up
+    to right_first-1+stride.  The band must be bounded from the gap
+    endpoints, not from occupied keys only."""
+    bits = 10
+    stride = 1 << (2 * bits)
+    # Boundary at row 4: left_last = 8, right_first = stride + 200 — the
+    # gap spans a whole x-plane, so LEFT-shard queries exist at gap keys
+    # up to stride+199 whose +x probes reach up to 2*stride+199.
+    keys = np.array([5, 6, 7, 8,
+                     stride + 200, 2 * stride + 100, 2 * stride + 199,
+                     4 * stride], np.int64)
+    need = halo.required_halo(keys, 2, bits=bits)
+    # A gap query at key stride+199 (left shard: < right_first) probes +x
+    # at 2*stride+199 — the 3rd row of the right half.  The pre-fix
+    # occupied-keys-only bound (left_last + stride = stride + 8) covered
+    # ZERO right-head rows.
+    assert need >= 3
+
+
+def test_exchange_clamp_warns(mesh4):
+    """Requesting a halo wider than rows-per-shard is clamped WITH a
+    warning instead of silently degrading (ADVICE r2)."""
+    rng = np.random.default_rng(2)
+    pts = _scene(rng)
+    P = 1 << int(np.ceil(np.log2(len(pts))))
+    pad = np.zeros((P, 3), np.float32)
+    msk = np.zeros(P, bool)
+    pad[:len(pts)] = pts
+    msk[:len(pts)] = True
+    target = gicp.build_plane_grid(jnp.asarray(pad), jnp.asarray(msk),
+                                   np.zeros(3), 1.0, capacity=1024)
+    from jax.sharding import NamedSharding
+    specs = halo._plane_specs("map")
+    tgt_sh = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh4, s)),
+        target, specs)
+    per = target.grid.keys.shape[0] // 4
+    with pytest.warns(RuntimeWarning, match="clamped"):
+        halo.exchange_and_extend(mesh4, tgt_sh, halo=per + 100)
+    # halo_is_exact reflects the clamp
+    keys = np.asarray(target.grid.keys)
+    assert halo.halo_is_exact(keys, 4, halo.required_halo(keys, 4))
+    assert not halo.halo_is_exact(keys, 4, 0)
+
+
+def test_host_router_matches_device_pack_precision():
+    """ADVICE r2: the host router floors the quotient in float32 to match
+    voxel.pack_keys device semantics — a coordinate that rounds
+    differently across precisions must not be routed off-shard."""
+    # 4.8 / 0.1 in float64 floors to 47 (4.8/0.1 = 47.999...9); in
+    # float32 the quotient rounds to exactly 48.0.
+    pts = np.array([[4.8, 0.05, 0.05]], np.float32)
+    msk = np.ones(1, bool)
+    dev = np.asarray(vx.pack_keys(
+        jnp.asarray(pts), jnp.asarray(msk), jnp.zeros(3),
+        jnp.asarray(0.1, jnp.float32)))
+    host = halo._pack_keys_np(pts, msk, np.zeros(3), 0.1)
+    assert int(host[0]) == int(dev[0])

@@ -233,3 +233,77 @@ def test_update_map_incremental_moves_keyframe():
     # keyframe 0's region is untouched
     sel0 = np.abs(occ[:, 0]) < 4.0
     assert occ[sel0, 1].max() < 5.5
+
+
+def test_stream_downdate_is_exact_inverse():
+    """ADVICE r2: keyframes integrated through the per-frame stream path
+    (se3.apply + integrate_points) must be downdated by replaying the SAME
+    compiled programs — after update_map_incremental the map equals one
+    where the moved scan was integrated at the new pose directly (no stale
+    positive residue from cross-program float differences)."""
+    import numpy as np
+
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    def build(move):
+        pipe = SlamPipeline()
+        rng = np.random.default_rng(7)
+        pts = rng.uniform(-5, 5, (1500, 3)).astype(np.float32)
+        # points deliberately near voxel boundaries to maximize the
+        # chance of cross-program rounding divergence
+        pts = np.round(pts) + rng.choice(
+            [0.0, 1e-7, -1e-7], size=pts.shape).astype(np.float32)
+        mask = np.ones(1500, bool)
+        from veloslam_tpu.core import se3 as s
+        for k, tx in enumerate((0.0, 20.0)):
+            pose_t = np.array([tx, 0.0, 0.0], np.float32)
+            pose_q = np.array([1.0, 0, 0, 0], np.float32)
+            use_t = pose_t.copy()
+            if move and k == 1:
+                use_t[1] += 2.0
+            if not (move and k == 1):
+                import jax.numpy as jnp
+                pw = np.asarray(s.apply(
+                    s.Pose(jnp.asarray(pose_q), jnp.asarray(pose_t)),
+                    jnp.asarray(pts)))
+                pipe.map.integrate_points(pw, mask, center=pose_t)
+            else:
+                import jax.numpy as jnp
+                pw = np.asarray(s.apply(
+                    s.Pose(jnp.asarray(pose_q), jnp.asarray(use_t)),
+                    jnp.asarray(pts)))
+                pipe.map.integrate_points(pw, mask, center=use_t)
+            pipe.graph.add_pose(pose_q, use_t)
+            pipe.keyframe_scans.append((pts.copy(), mask.copy()))
+            pipe.keyframe_times.append(k)
+            pipe._kf_map_pose.append((pose_q, use_t.copy()))
+            pipe._kf_integrated_via.append("stream")
+        return pipe
+
+    # Pipeline A: integrate at original poses, then graph moves kf 1 and
+    # update_map_incremental corrects the map.
+    a = build(move=False)
+    q, t = a.graph.poses()
+    t2 = t.copy()
+    t2[1, 1] += 2.0
+    a.graph.update_from(q, t2)
+    assert a.update_map_incremental() == 1
+    # Pipeline B: integrate kf 1 at the corrected pose directly.
+    b = build(move=True)
+
+    tiles_a = {k for k, p in a.map._patches.items() if p.n_voxels}
+    tiles_b = {k for k, p in b.map._patches.items() if p.n_voxels}
+    assert tiles_a == tiles_b
+    for idx in tiles_a:
+        pa, pb = a.map._patches[idx], b.map._patches[idx]
+        np.testing.assert_array_equal(pa.coords, pb.coords)
+        np.testing.assert_allclose(pa.count, pb.count, atol=1e-9)
+        np.testing.assert_allclose(pa.s1, pb.s1, atol=1e-6)
+
+
+def test_add_landmark_observations_empty_keyframes():
+    """Public method degrades to (0, 0) with no keyframes (ADVICE r2)."""
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    pipe = SlamPipeline()
+    assert pipe.add_landmark_observations() == (0, 0)

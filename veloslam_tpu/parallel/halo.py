@@ -113,9 +113,12 @@ def exchange_and_extend(mesh: Mesh, target: PlaneGrid, axis: str = "map",
     After this, a point whose voxel lies within `halo` rows of a shard
     boundary finds its ±1-neighbor voxels locally — queries can then be
     sharded by key range instead of replicated.  `required_halo` computes
-    the width that makes this exact for a given table.
+    the width that makes this exact for a given table; a request above
+    rows-per-shard is clamped WITH a RuntimeWarning (one hop can only
+    fetch immediate neighbors) — check `halo_is_exact` when it matters.
     """
-    halo = min(int(halo), target.grid.keys.shape[0] // mesh.shape[axis])
+    halo = _clamp_halo(halo, target.grid.keys.shape[0], mesh.shape[axis],
+                       "exchange_and_extend")
     return _exchange_program(mesh, axis, halo)(target)
 
 
@@ -128,10 +131,16 @@ def _plane_specs(axis: str) -> PlaneGrid:
 
 def _pack_keys_np(pts: np.ndarray, mask: np.ndarray, origin: np.ndarray,
                   voxel_size: float, bits: int = 10) -> np.ndarray:
-    """Host-numpy mirror of voxel.pack_keys (int64 to dodge overflow)."""
+    """Host-numpy mirror of voxel.pack_keys (int64 to dodge overflow).
+
+    The quotient is computed in float32 to MATCH the device semantics
+    bit-for-bit: a point whose coordinate rounds differently across
+    precisions would be routed to a different shard than the one whose
+    haloed table contains its device-packed voxel."""
     half = 2 ** (bits - 1)
-    g = np.floor((np.asarray(pts, np.float64) - np.asarray(origin))
-                 / float(voxel_size)).astype(np.int64) + half
+    g = np.floor((np.asarray(pts, np.float32) - np.asarray(origin,
+                                                           np.float32))
+                 / np.float32(voxel_size)).astype(np.int64) + half
     in_range = np.all((g >= 0) & (g < 2 ** bits), axis=-1)
     key = (g[..., 0] << (2 * bits)) | (g[..., 1] << bits) | g[..., 2]
     return np.where(np.asarray(mask, bool) & in_range, key,
@@ -146,8 +155,16 @@ def required_halo(table_keys, n_shards: int, bits: int = 10) -> int:
     x-plane of occupied voxels away in ROW space — so the fixed default
     HALO can under-cover dense tables.  This computes, per shard boundary,
     how many neighbor rows fall within one key stride of the boundary, and
-    returns the max.  Add slack (a few rows) if the pose will move points
-    across voxel boundaries during optimization.
+    returns the max.  Both sides are bounded from the boundary key
+    `right_first` (the routing split point), NOT from the occupied key
+    `left_last`: a query may sit in an unoccupied voxel anywhere in the
+    key gap spanning the boundary (routing assigns keys in
+    [left_last+1, right_first) to the left shard), so the left shard's
+    probes reach up to `right_first - 1 + stride` — an occupied-keys-only
+    bound (`left_last + stride`) under-covers exactly those gap queries.
+    The right shard's probes reach down to `right_first - stride`.  Add a
+    few rows of slack if the pose will move points across voxel
+    boundaries during optimization.
     """
     keys = np.asarray(table_keys).astype(np.int64)
     per = keys.shape[0] // n_shards
@@ -158,14 +175,42 @@ def required_halo(table_keys, n_shards: int, bits: int = 10) -> int:
         left_last, right_first = keys[b - 1], keys[b]
         if right_first >= vx.INVALID_KEY:
             continue                      # right side is padding only
-        # rows the LEFT shard's points need from the right shard's head
-        n_right = int(np.searchsorted(keys[b:], left_last + stride,
-                                      side="right"))
-        # rows the RIGHT shard's points need from the left shard's tail
+        # rows the LEFT shard's points (keys up to right_first-1, incl.
+        # unoccupied gap voxels) need from the right shard's head:
+        # occupied keys < right_first + stride
+        n_right = int(np.searchsorted(keys[b:], right_first + stride,
+                                      side="left"))
+        # rows the RIGHT shard's points (keys >= right_first) need from
+        # the left shard's tail: occupied keys >= right_first - stride
         n_left = b - int(np.searchsorted(keys[:b], right_first - stride,
                                          side="left"))
         need = max(need, n_right, n_left)
     return need
+
+
+def halo_is_exact(table_keys, n_shards: int, halo: int,
+                  bits: int = 10) -> bool:
+    """Whether a per-side band of `halo` rows (after the per-shard-row
+    clamp applied by `exchange_and_extend` / `register_halo_sharded`)
+    covers every boundary lookup — i.e. the sharded result equals the
+    unsharded oracle.  Use this instead of assuming; an insufficient band
+    degrades results with no runtime signal otherwise."""
+    per = np.asarray(table_keys).shape[0] // n_shards
+    return min(int(halo), per) >= required_halo(table_keys, n_shards, bits)
+
+
+def _clamp_halo(halo: int, rows: int, n_shards: int, where: str) -> int:
+    """One ring hop can fetch at most a full neighbor shard; warn when the
+    requested band is silently reduced below what the caller asked for."""
+    import warnings
+    per = rows // n_shards
+    if halo > per:
+        warnings.warn(
+            f"{where}: requested halo {halo} exceeds rows-per-shard {per}; "
+            f"clamped — boundary lookups may diverge from the unsharded "
+            f"oracle (check halo_is_exact/required_halo)",
+            RuntimeWarning, stacklevel=3)
+    return min(int(halo), per)
 
 
 def partition_points_by_key_ranges(table_keys, pts, mask, origin,
@@ -264,9 +309,12 @@ def register_halo_sharded(mesh: Mesh, pts, mask, target: PlaneGrid,
     local matching + one 6×6 psum — identical collective cost to
     `sharded.register_sharded`, but per-device match work also drops as
     1/D.  Exactness requires `halo ≥ required_halo(...)` plus slack for
-    the pose correction (keep the prior within about a voxel).
+    the pose correction (keep the prior within about a voxel); a request
+    above rows-per-shard is clamped WITH a RuntimeWarning — check
+    `halo_is_exact` when oracle equality matters.
     """
-    halo = min(int(halo), target.grid.keys.shape[0] // mesh.shape[axis])
+    halo = _clamp_halo(halo, target.grid.keys.shape[0], mesh.shape[axis],
+                       "register_halo_sharded")
     run = _halo_register_program(mesh, axis, iterations, damping,
                                  huber_delta, max_dist, halo)
     q, t, err, n_hit = run(pts, mask, target, init_pose.q, init_pose.t)

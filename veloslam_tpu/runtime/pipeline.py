@@ -82,6 +82,11 @@ class SlamPipeline:
         self.keyframe_descs: List[np.ndarray] = []   # scan-context (R, S)
         self.keyframe_times: List[int] = []
         self._kf_map_pose: List[Tuple[np.ndarray, np.ndarray]] = []
+        # How each keyframe's scan stats entered the map ("stream" =
+        # per-frame integrate_points, "batch" = integrate_scans_batch):
+        # downdating replays the matching program so the subtraction is
+        # the exact inverse (same compiled program + same inputs).
+        self._kf_integrated_via: List[str] = []
         # Keyframe pose at CREATION (immutable): the per-frame trajectory
         # was recorded against these; finalize() corrects it by the total
         # keyframe motion since creation, across however many graph solves.
@@ -435,6 +440,7 @@ class SlamPipeline:
             self.keyframe_times.append(int(kfs["times_us"][k]))
             self._kf_map_pose.append((kfs["q"][k].copy(),
                                       kfs["t"][k].copy()))
+            self._kf_integrated_via.append("batch")
             self._kf_pose_at_creation.append((kfs["q"][k].copy(),
                                               kfs["t"][k].copy()))
             if k > 0:
@@ -772,7 +778,12 @@ class SlamPipeline:
         # Pose this keyframe's scan was integrated into the map with
         # (_handle_frame integrated it just before) — the downdating
         # anchor for incremental map correction after graph solves.
+        # Provenance "stream": the scan entered the map through the
+        # per-frame integrate_points program, so its downdate must replay
+        # that SAME compiled program to be bit-exact (XLA gives no
+        # cross-program bitwise guarantee; see update_map_incremental).
         self._kf_map_pose.append((np.asarray(T_est.q), np.asarray(T_est.t)))
+        self._kf_integrated_via.append("stream")
         self._kf_pose_at_creation.append((np.asarray(T_est.q),
                                           np.asarray(T_est.t)))
         if k > 0:
@@ -898,7 +909,13 @@ class SlamPipeline:
         a mid-session correction far cheaper than `rebuild_map` (which
         stays the exact end-of-session path; non-keyframe frames'
         contributions are not tracked and remain as integrated).  Returns
-        the number of keyframes re-integrated."""
+        the number of keyframes re-integrated.
+
+        Exactness: the subtraction replays the SAME compiled program the
+        scan was integrated with (tracked in `_kf_integrated_via`) — XLA
+        gives no bitwise guarantee across different compilations, so a
+        batched downdate of a stream-integrated scan could voxelize
+        boundary points differently and leave stale residue."""
         q, t = self.graph.poses()
         moved_k = [
             k for k in range(len(self.keyframe_scans))
@@ -908,19 +925,38 @@ class SlamPipeline:
                     > 0.999995)]
         if not moved_k:
             return 0
-        # One batched pass: downdate every moved scan at its old pose
-        # (sign −1), re-add at the new pose — 2·M entries, chunked device
-        # programs instead of ~12·M dispatch round-trips.
-        pts = np.stack([self.keyframe_scans[k][0] for k in moved_k] * 2)
-        msk = np.stack([self.keyframe_scans[k][1] for k in moved_k] * 2)
-        qs = np.stack([self._kf_map_pose[k][0] for k in moved_k]
-                      + [q[k] for k in moved_k])
-        ts = np.stack([self._kf_map_pose[k][1] for k in moved_k]
-                      + [t[k] for k in moved_k])
-        signs = np.concatenate([-np.ones(len(moved_k)),
-                                np.ones(len(moved_k))])
-        self.map.integrate_scans_batch(pts, msk, qs, ts, signs=signs,
-                                       tile_filter=self._tile_filter())
+        def via(k):  # untracked keyframes default to the stream path
+            return (self._kf_integrated_via[k]
+                    if k < len(self._kf_integrated_via) else "stream")
+        stream_k = [k for k in moved_k if via(k) == "stream"]
+        batch_k = [k for k in moved_k if via(k) != "stream"]
+        # Stream-integrated scans: replay the per-frame programs
+        # (se3.apply + integrate_points) at the old pose with sign −1 —
+        # bit-exact inverse — then re-add through the same path so future
+        # downdates stay exact.
+        for k in stream_k:
+            pts_k, msk_k = self.keyframe_scans[k]
+            old_q, old_t = self._kf_map_pose[k]
+            pw_old = np.asarray(se3.apply(_np_pose(old_q, old_t),
+                                          jnp.asarray(pts_k)))
+            self._integrate_scan(pw_old, msk_k, old_t, sign=-1.0)
+            pw_new = np.asarray(se3.apply(_np_pose(q[k], t[k]),
+                                          jnp.asarray(pts_k)))
+            self._integrate_scan(pw_new, msk_k, t[k])
+        if batch_k:
+            # One batched pass: downdate every moved scan at its old pose
+            # (sign −1), re-add at the new pose — 2·M entries, chunked
+            # device programs instead of ~12·M dispatch round-trips.
+            pts = np.stack([self.keyframe_scans[k][0] for k in batch_k] * 2)
+            msk = np.stack([self.keyframe_scans[k][1] for k in batch_k] * 2)
+            qs = np.stack([self._kf_map_pose[k][0] for k in batch_k]
+                          + [q[k] for k in batch_k])
+            ts = np.stack([self._kf_map_pose[k][1] for k in batch_k]
+                          + [t[k] for k in batch_k])
+            signs = np.concatenate([-np.ones(len(batch_k)),
+                                    np.ones(len(batch_k))])
+            self.map.integrate_scans_batch(pts, msk, qs, ts, signs=signs,
+                                           tile_filter=self._tile_filter())
         for k in moved_k:
             self._kf_map_pose[k] = (q[k].copy(), t[k].copy())
         return len(moved_k)
@@ -940,6 +976,7 @@ class SlamPipeline:
                 q[:K], t[:K], tile_filter=self._tile_filter())
             for k in range(min(K, len(self._kf_map_pose))):
                 self._kf_map_pose[k] = (q[k].copy(), t[k].copy())
+                self._kf_integrated_via[k] = "batch"
         self.map = fresh
 
     def _correct_trajectory(self, old_q: np.ndarray, old_t: np.ndarray
@@ -980,6 +1017,8 @@ class SlamPipeline:
         (MapObjects.h:11-46) wired into the production back end.  Runs
         once; returns (n_landmarks, n_observations) added."""
         if getattr(self, "_landmarks_added", False):
+            return 0, 0
+        if not self.keyframe_scans:      # public method: degrade, not raise
             return 0, 0
         self._landmarks_added = True
         gc = self.cfg.graph
