@@ -162,7 +162,8 @@ def run_bulk(iters=8, warmup=2, batch_packets=BATCH_PACKETS,
 
 def _make_drive(duration_s, seed=3, drift=1.0):
     """Simulated loop drive with drifting INS (closures must fire).
-    Returns (paths, seq)."""
+    Radius 8 m at 8 m/s → one lap every ~6.3 s, so even a short
+    budget-friendly drive completes the loop.  Returns (paths, seq)."""
     import tempfile
 
     from veloslam_tpu.io import packets as pkmod
@@ -172,7 +173,7 @@ def _make_drive(duration_s, seed=3, drift=1.0):
     seq = sim.generate_sequence(
         duration_s=duration_s, model="hdl32", seed=seed,
         world=sim.World.demo(3, extent=40.0, n_posts=40, n_walls=16),
-        trajectory=sim.circle_trajectory(radius=15.0, speed=8.0))
+        trajectory=sim.circle_trajectory(radius=8.0, speed=8.0))
     paths = sim.write_sequence(seq, d, name="bench")
     ins = pkmod.read_ins_txt(paths["ins"])
     ts = (ins["t_us"] - ins["t_us"][0]) * 1e-6
@@ -189,26 +190,25 @@ def _slam_cfg():
                                         sc_min_score=0.55))
 
 
-def run_full_slam(duration_s=12.0, batch=16384, warm_s=2.0):
+def run_full_slam(duration_s=7.0, batch=16384, warm_s=2.0):
     """End-to-end full SLAM: run_offline_batched + finalize on a loop
-    drive.  ONE measured run; the jit cache is warmed by a short scout
-    drive first (shape-stable tail programs are padded to fixed caps, so
-    the scout warms them too).  Wall time covers everything after packets
-    are in host memory."""
+    drive.  ONE measured run; the jit cache is warmed READBACK-FREE first
+    (SlamPipeline.warmup_batched) — an ordinary warm run would read its
+    results back and permanently poison dispatch for the measured run on
+    the axon backend.  Wall time covers everything after packets are in
+    host memory."""
     from veloslam_tpu.runtime.evaluate import ate, interpolate_positions
     from veloslam_tpu.runtime.pipeline import SlamPipeline
 
     if warm_s:
-        wpaths, _ = _make_drive(warm_s, seed=5)
-        scout = SlamPipeline(_slam_cfg())
-        scout.run_offline_batched(wpaths["pcap"], wpaths["ins"],
-                                  batch=batch)
-        scout.finalize()
+        SlamPipeline(_slam_cfg()).warmup_batched(duration_s=warm_s,
+                                                 batch=batch)
 
     paths, seq = _make_drive(duration_s)
     pipe = SlamPipeline(_slam_cfg())
     t0 = time.perf_counter()
-    pipe.run_offline_batched(paths["pcap"], paths["ins"], batch=batch)
+    pipe.run_offline_batched(paths["pcap"], paths["ins"], batch=batch,
+                             defer_map=True)
     res = pipe.finalize()
     wall = time.perf_counter() - t0
     ref = interpolate_positions(res["times_us"], seq["ins_t_us"],
@@ -246,7 +246,7 @@ def main():
                          "loser on this backend — off by default)")
     ap.add_argument("--live", action="store_true",
                     help="measure live loopback ingest on this backend")
-    ap.add_argument("--full-duration-s", type=float, default=6.0)
+    ap.add_argument("--full-duration-s", type=float, default=7.0)
     ap.add_argument("--full-budget-s", type=float, default=600.0,
                     help="wall-clock budget for the optional stages; "
                          "stages are skipped once it is spent")
@@ -309,6 +309,19 @@ def main():
 
     if not args.skip_full:
         if budget.remaining() > 0:
+            # Hard wall-clock guard: a SIGALRM raise inside the stage still
+            # reaches the extended-JSON print below (stage recorded as a
+            # timeout instead of the whole process dying at the driver's
+            # timeout with the extended line unprinted).
+            import signal
+
+            def _alarm(signum, frame):
+                raise TimeoutError(
+                    f"full-slam stage exceeded budget "
+                    f"({args.full_budget_s:.0f}s)")
+
+            old = signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(max(int(budget.remaining()), 1))
             try:
                 extra["full_slam"] = run_full_slam(
                     duration_s=args.full_duration_s)
@@ -323,6 +336,9 @@ def main():
                       file=sys.stderr, flush=True)
             except Exception as e:
                 extra["full_slam"] = f"error: {e}"[:300]
+            finally:
+                signal.alarm(0)
+                signal.signal(signal.SIGALRM, old)
         else:
             extra["full_slam"] = "skipped: budget spent"
 

@@ -45,10 +45,11 @@ def test_batched_full_slam_tracks_truth(tmp_path):
 def test_descriptor_loop_closure_under_large_drift(tmp_path):
     """THE drift case position-based proposal provably misses: a loop
     drive whose INS (and therefore odometry prior) drifts ~18 m by the
-    revisit.  Registration is disabled (0 GN iterations) so the trajectory
-    IS the drifted INS; the position channel finds nothing, the
-    scan-context channel must close the loop and finalize() must pull ATE
-    down."""
+    revisit.  Registration is disabled (0 GN iterations) so the odometry
+    trajectory IS the drifted INS.  A position-only control run shows the
+    radius channel closes nothing (drift > radius); with the scan-context
+    channel enabled the device sweep inside run_offline_batched must close
+    the true revisit and pull ATE down."""
     world = sim.World.demo(seed=7, extent=35.0, n_posts=36, n_walls=14)
     seq = sim.generate_sequence(
         duration_s=9.6, model="hdl32", seed=7, world=world,
@@ -57,37 +58,47 @@ def test_descriptor_loop_closure_under_large_drift(tmp_path):
     drift_rate = 2.0                     # m/s -> ~19 m at the revisit
     _write_drift_ins(paths, seq, drift_rate)
 
-    cfg = SlamConfig(
-        registration=RegistrationConfig(max_iterations=0),  # INS-only odo
-        graph=GraphConfig(keyframe_translation_m=2.0,
-                          loop_closure_min_gap=12,
-                          sc_min_score=0.55))
-    pipe = SlamPipeline(cfg)
-    res = pipe.run_offline_batched(paths["pcap"], paths["ins"], batch=4096)
-    ref = interpolate_positions(res["times_us"], seq["ins_t_us"],
-                                seq["ins_pos"])
-    m_before = ate(res["positions"][:, :2], ref[:, :2], align=False)
+    def cfg(use_sc):
+        return SlamConfig(
+            registration=RegistrationConfig(max_iterations=0),  # INS odo
+            graph=GraphConfig(keyframe_translation_m=2.0,
+                              loop_closure_min_gap=12,
+                              sc_min_score=0.55, use_scan_context=use_sc,
+                              use_landmarks=False))
+
+    # Control: position channel only.  Wrong pairs (spiraled estimates
+    # within the radius) may be proposed but must be REJECTED by the
+    # verifier; the drifted trajectory stays drifted.
+    ctrl = SlamPipeline(cfg(use_sc=False))
+    res0 = ctrl.run_offline_batched(paths["pcap"], paths["ins"],
+                                    batch=4096)
+    ref0 = interpolate_positions(res0["times_us"], seq["ins_t_us"],
+                                 seq["ins_pos"])
+    m_before = ate(res0["positions"][:, :2], ref0[:, :2], align=False)
     assert m_before["rmse"] > 5.0, m_before     # really drifted
+    assert res0["n_closures"] == 0
 
     # The TRUE revisit pairs: keyframes whose ground-truth positions are
     # within 3 m but whose drifted estimates are far apart.  The position
     # channel (search over estimates) provably cannot propose them.
-    _, t_kf = pipe.graph.poses()
+    _, t_kf = ctrl.graph.poses()
     kf_true = interpolate_positions(
-        np.asarray(pipe.keyframe_times, np.int64),
+        np.asarray(ctrl.keyframe_times, np.int64),
         seq["ins_t_us"], seq["ins_pos"])
-    gap = cfg.graph.loop_closure_min_gap
+    gap = 12
     K = len(t_kf)
     revisit = {(i, j) for i in range(K) for j in range(i + gap, K)
                if np.linalg.norm(kf_true[i, :2] - kf_true[j, :2]) < 3.0
-               and np.linalg.norm(t_kf[i, :2] - t_kf[j, :2])
-               > cfg.graph.loop_closure_radius_m}
+               and np.linalg.norm(t_kf[i, :2] - t_kf[j, :2]) > 15.0}
     assert revisit, "fixture produced no drifted revisit"
     pos_cands = set(loopclosure.find_candidates(
-        t_kf, radius=cfg.graph.loop_closure_radius_m, min_gap=gap))
+        t_kf, radius=15.0, min_gap=gap))
     assert not (pos_cands & revisit), "position channel can't see these"
 
-    res2 = pipe.finalize()
+    # Scan-context enabled: the device sweep closes the revisit.
+    pipe = SlamPipeline(cfg(use_sc=True))
+    res2 = pipe.run_offline_batched(paths["pcap"], paths["ins"],
+                                    batch=4096)
     assert res2["n_closures"] >= 1, "descriptor channel closed no loop"
     closed = set(pipe.closures)
     assert closed & revisit, (closed, revisit)
@@ -96,6 +107,12 @@ def test_descriptor_loop_closure_under_large_drift(tmp_path):
     m_after = ate(res2["positions"][:, :2], ref2[:, :2], align=False)
     # the solve must pull the loop substantially back toward truth
     assert m_after["rmse"] < 0.5 * m_before["rmse"], (m_before, m_after)
+    # finalize() (landmark/residual pass) must not regress it
+    res3 = pipe.finalize()
+    ref3 = interpolate_positions(res3["times_us"], seq["ins_t_us"],
+                                 seq["ins_pos"])
+    m_fin = ate(res3["positions"][:, :2], ref3[:, :2], align=False)
+    assert m_fin["rmse"] < 0.6 * m_before["rmse"], (m_before, m_fin)
 
 
 def test_landmark_aided_finalize_beats_pose_only(tmp_path):

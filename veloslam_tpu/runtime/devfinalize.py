@@ -1,0 +1,276 @@
+"""Device-resident end-of-stream SLAM finalize: propose → verify → solve
+→ trajectory correction with ZERO host round-trips until one final
+readback.
+
+Why this exists: on the tunneled axon TPU backend a single device→host
+readback permanently degrades every later dispatch ~40-500× (ROADMAP.md
+perf notes).  The round-2 finalize read the keyframe ring back FIRST and
+then orchestrated loop closure on the host — hundreds of poisoned
+dispatches, 141 s for a 12 s drive.  Here the whole sweep runs as three
+chained jitted programs on device state:
+
+  1. `propose_closures` — BOTH proposal channels (position radius +
+     scan-context appearance) scored on device, greedy per-keyframe
+     selection as a lax.scan over the top-k candidates;
+  2. `verify_closures_device` — the batched GICP verification of
+     graph/loopclosure.verify_closures_batch as one pure device program
+     (forward + self-observability + unconditional reverse pass for the
+     reciprocal-consistency tie-break — static shapes, no gray-zone
+     branch);
+  3. `solve_and_correct` — GraphArrays assembled in-trace (consecutive
+     odometry edges + accepted closure edges), pose-only Gauss-Newton
+     (graph/optimize.solve), keyframe corrections slerp/lerp-interpolated
+     onto the full per-frame trajectory.
+
+The host reads everything back once, after all device work is queued.
+
+Capability mapping: the loop-closure + pose-graph pass of the SLAM layer
+the reference never implemented (reference README.md:25-26), run at the
+sensor-outpacing rate its runtime was built around (HDLManager.h:108).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from veloslam_tpu.core import se3
+from veloslam_tpu.core.timeline import interpolate_poses
+from veloslam_tpu.graph import scancontext as sc
+from veloslam_tpu.graph.posegraph import GraphArrays
+from veloslam_tpu.graph import optimize
+from veloslam_tpu.registration import gicp
+
+
+class Candidates(NamedTuple):
+    i: jax.Array        # (C,) int32
+    j: jax.Array        # (C,) int32
+    valid: jax.Array    # (C,) bool
+    prior_q: jax.Array  # (C, 4) initial guess for T_i⁻¹∘T_j
+    prior_t: jax.Array  # (C, 3)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "min_gap", "max_candidates", "max_per_keyframe", "min_score",
+    "radius", "use_scan_context"))
+def propose_closures(desc: jax.Array, q: jax.Array, t: jax.Array,
+                     n: jax.Array, *, min_score: float, radius: float,
+                     min_gap: int, max_candidates: int,
+                     max_per_keyframe: int = 2,
+                     use_scan_context: bool = True) -> Candidates:
+    """Both loop-closure proposal channels on device.
+
+    Position pairs (temporally distant, spatially close under the CURRENT
+    estimates) rank above appearance pairs — mirroring the host sweep's
+    channel order (runtime/pipeline._closure_candidates) — and a greedy
+    pass caps per-keyframe uses at `max_per_keyframe` so one revisit
+    cannot monopolize the verification budget (a figure-8 drive needs
+    candidates on BOTH loops)."""
+    K = desc.shape[0]
+    scores, shifts = sc.descriptor_scores(desc)
+    valid = jnp.arange(K) < n
+    ii = jnp.arange(K)[:, None]
+    jj = jnp.arange(K)[None, :]
+    base = valid[:, None] & valid[None, :] & (jj - ii >= min_gap)
+    d = jnp.linalg.norm(t[:, None, :2] - t[None, :, :2], axis=-1)
+    pos_ok = base & (d < radius)
+    sc_ok = base & (scores >= min_score) if use_scan_context \
+        else jnp.zeros_like(base)
+    # STRATIFIED candidate pool: a separate top-k per channel, position
+    # pairs first (host sweep order).  A single pooled top-k starves the
+    # appearance channel exactly when it matters — under drift the
+    # spiraled estimates produce scores of wrong position pairs than the
+    # pool holds, and the drift-independent scan-context pairs (the ones
+    # that actually close the loop) never reach the greedy pass.
+    pos_val = jnp.where(pos_ok, 3.0 - d / radius, -jnp.inf)
+    sc_val = jnp.where(sc_ok & ~pos_ok, scores, -jnp.inf)
+    M = min(2 * max_candidates, K * K)
+    pv, pidx = jax.lax.top_k(pos_val.reshape(-1), M)
+    sv, sidx = jax.lax.top_k(sc_val.reshape(-1), M)
+    flat_val = jnp.concatenate([pv, sv])
+    flat_idx = jnp.concatenate([pidx, sidx])
+    is_pos_entry = jnp.concatenate([jnp.ones(M, bool), jnp.zeros(M, bool)])
+    fi = (flat_idx // K).astype(jnp.int32)
+    fj = (flat_idx % K).astype(jnp.int32)
+
+    C = max_candidates
+
+    def body(carry, x):
+        taken_p, taken_s, out_i, out_j, cnt = carry
+        v, i, j, isp = x
+        # Per-CHANNEL keyframe budgets (host parity: each channel runs its
+        # own max_per_keyframe greedy) — wrong position pairs under drift
+        # must not block the appearance pair on the same revisit keyframe.
+        taken = jnp.where(isp, jnp.maximum(taken_p[i], taken_p[j]),
+                          jnp.maximum(taken_s[i], taken_s[j]))
+        ok = (jnp.isfinite(v) & (taken < max_per_keyframe) & (cnt < C))
+        inc = ok.astype(jnp.int32)
+        taken_p = jnp.where(isp, taken_p.at[i].add(inc).at[j].add(inc),
+                            taken_p)
+        taken_s = jnp.where(isp, taken_s,
+                            taken_s.at[i].add(inc).at[j].add(inc))
+        slot = jnp.where(ok, cnt, C)
+        out_i = out_i.at[slot].set(i, mode="drop")
+        out_j = out_j.at[slot].set(j, mode="drop")
+        return (taken_p, taken_s, out_i, out_j, cnt + inc), None
+
+    (_, _, out_i, out_j, cnt), _ = jax.lax.scan(
+        body, (jnp.zeros(K, jnp.int32), jnp.zeros(K, jnp.int32),
+               jnp.zeros(C, jnp.int32), jnp.zeros(C, jnp.int32),
+               jnp.asarray(0, jnp.int32)),
+        (flat_val, fi, fj, is_pos_entry))
+    cand_valid = jnp.arange(C) < cnt
+
+    # Priors: position pairs from current estimates; appearance-only pairs
+    # from the best sector shift (zero translation — drift-independent).
+    is_pos = pos_ok[out_i, out_j]
+    rel = jax.vmap(lambda qi, ti, qj, tj: se3.relative(
+        se3.Pose(qi, ti), se3.Pose(qj, tj)))(
+            q[out_i], t[out_i], q[out_j], t[out_j])
+    yaw = -shifts[out_i, out_j].astype(jnp.float32) * (
+        2.0 * jnp.pi / desc.shape[2])
+    yaw = jnp.mod(yaw + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    sc_q = jnp.stack([jnp.cos(yaw / 2), jnp.zeros_like(yaw),
+                      jnp.zeros_like(yaw), jnp.sin(yaw / 2)], -1)
+    prior_q = jnp.where(is_pos[:, None], rel.q, sc_q)
+    prior_t = jnp.where(is_pos[:, None], rel.t, 0.0)
+    return Candidates(i=out_i, j=out_j, valid=cand_valid,
+                      prior_q=prior_q, prior_t=prior_t)
+
+
+def _lam_min_per_match(H: jax.Array, n_matched: jax.Array) -> jax.Array:
+    """Smallest eigenvalue of a 6×6 GN normal matrix per correspondence
+    (device twin of graph/loopclosure._lam_min_per_match)."""
+    finite = jnp.all(jnp.isfinite(H))
+    Hs = jnp.where(finite, H, jnp.eye(6, dtype=H.dtype))
+    lam = jnp.linalg.eigvalsh(Hs)[0]
+    lam = jnp.where(finite, jnp.maximum(lam, 0.0), 0.0)
+    return lam / jnp.maximum(n_matched.astype(lam.dtype), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "voxel_size", "capacity", "iterations", "max_mean_error",
+    "min_matches", "obs_accept", "obs_reject", "max_cycle_t",
+    "max_cycle_rot_deg"))
+def verify_closures_device(ring_pts: jax.Array, ring_msk: jax.Array,
+                           cand: Candidates, *,
+                           voxel_size: float = 1.0, capacity: int = 16384,
+                           iterations: int = 20,
+                           max_mean_error: float = 0.05,
+                           min_matches: int = 2000,
+                           obs_accept: float = 0.75,
+                           obs_reject: float = 0.10,
+                           max_cycle_t: float = 0.3,
+                           max_cycle_rot_deg: float = 2.0):
+    """Pure-device batched closure verification: same accept gates as
+    graph/loopclosure.verify_closures_batch (tightness + self-normalized
+    observability + reciprocal consistency), but with the reverse pass run
+    unconditionally (static shapes beat a data-dependent branch on TPU)
+    and consulted only in the observability gray zone.
+
+    Returns (meas_q (C,4), meas_t (C,3), accept (C,) bool)."""
+    pts_i = ring_pts[cand.i]
+    msk_i = ring_msk[cand.i] & cand.valid[:, None]
+    pts_j = ring_pts[cand.j]
+    msk_j = ring_msk[cand.j] & cand.valid[:, None]
+
+    grids_i = jax.vmap(
+        lambda p, m: gicp.build_plane_grid(p, m, jnp.zeros(3), voxel_size,
+                                           capacity=capacity))(pts_i, msk_i)
+    res = gicp.register_batch(pts_j, msk_j, grids_i,
+                              se3.Pose(cand.prior_q, cand.prior_t),
+                              iterations=iterations, share_target=False)
+    H_self, _, _, n_self = jax.vmap(
+        lambda p, m, g: gicp.normal_equations(p, m, se3.Pose.identity(), g)
+    )(pts_i, msk_i, grids_i)
+
+    tight = ((res.n_matched >= min_matches)
+             & (res.mean_error <= max_mean_error)
+             & jax.vmap(lambda t: jnp.all(jnp.isfinite(t)))(res.pose.t))
+    ceiling = jax.vmap(_lam_min_per_match)(H_self, n_self)
+    rel_obs = (jax.vmap(_lam_min_per_match)(res.H, res.n_matched)
+               / jnp.maximum(ceiling, 1e-12))
+
+    # Reverse pass (reciprocal consistency), computed for every slot.
+    grids_j = jax.vmap(
+        lambda p, m: gicp.build_plane_grid(p, m, jnp.zeros(3), voxel_size,
+                                           capacity=capacity))(pts_j, msk_j)
+    inv = jax.vmap(se3.inverse)(res.pose)
+    bwd = gicp.register_batch(pts_i, msk_i, grids_j, inv,
+                              iterations=iterations, share_target=False)
+    comp = jax.vmap(se3.compose)(res.pose, bwd.pose)
+    cyc_t = jnp.linalg.norm(comp.t, axis=-1)
+    cyc_r = 2.0 * jnp.arccos(jnp.clip(jnp.abs(comp.q[:, 0]), 0.0, 1.0))
+    cycle_ok = ((cyc_t <= max_cycle_t)
+                & (cyc_r <= jnp.deg2rad(max_cycle_rot_deg)))
+
+    accept = (tight & (rel_obs >= obs_reject)
+              & ((rel_obs >= obs_accept) | cycle_ok) & cand.valid)
+    return res.pose.q, res.pose.t, accept
+
+
+@functools.partial(jax.jit, static_argnames=("gn_iterations",))
+def solve_and_correct(kf_q: jax.Array, kf_t: jax.Array,
+                      kf_time_rel_s: jax.Array, n_kf: jax.Array,
+                      cand: Candidates, meas_q: jax.Array,
+                      meas_t: jax.Array, accept: jax.Array,
+                      odom_info: jax.Array, closure_info: jax.Array,
+                      traj_q: jax.Array, traj_t: jax.Array,
+                      traj_time: jax.Array, n_frames: jax.Array, *,
+                      gn_iterations: int = 8):
+    """Assemble the pose graph in-trace, solve, and propagate the keyframe
+    corrections to the per-frame trajectory (slerp/lerp over keyframe
+    times — exact at keyframes, smooth between, matching
+    runtime/pipeline._correct_trajectory)."""
+    K = kf_q.shape[0]
+    C = cand.i.shape[0]
+    rel = jax.vmap(lambda qa, ta, qb, tb: se3.relative(
+        se3.Pose(qa, ta), se3.Pose(qb, tb)))(
+            kf_q[:-1], kf_t[:-1], kf_q[1:], kf_t[1:])
+    e_i = jnp.concatenate([jnp.arange(K - 1, dtype=jnp.int32), cand.i])
+    e_j = jnp.concatenate([jnp.arange(1, K, dtype=jnp.int32), cand.j])
+    e_q = jnp.concatenate([rel.q, meas_q])
+    e_t = jnp.concatenate([rel.t, meas_t])
+    e_info = jnp.concatenate([
+        jnp.broadcast_to(odom_info, (K - 1, 6)),
+        jnp.broadcast_to(closure_info, (C, 6))])
+    e_valid = jnp.concatenate([
+        jnp.arange(K - 1) < (n_kf - 1), accept])
+    g = GraphArrays(
+        q=kf_q, t=kf_t, n_poses=n_kf,
+        e_i=e_i, e_j=e_j, e_q=e_q, e_t=e_t, e_info=e_info,
+        e_valid=e_valid,
+        l_pos=jnp.zeros((1, 3), jnp.float32),
+        n_landmarks=jnp.asarray(0, jnp.int32),
+        o_i=jnp.zeros(1, jnp.int32), o_l=jnp.zeros(1, jnp.int32),
+        o_z=jnp.zeros((1, 3), jnp.float32),
+        o_info=jnp.zeros((1, 3), jnp.float32),
+        o_valid=jnp.zeros(1, bool))
+    out, stats = optimize.solve(g, max_poses=K, iterations=gn_iterations)
+
+    # Keyframe corrections → per-frame trajectory.
+    corr = jax.vmap(lambda nq, nt, oq, ot: se3.compose(
+        se3.Pose(nq, nt), se3.inverse(se3.Pose(oq, ot))))(
+            out.q, out.t, kf_q, kf_t)
+    last = jnp.maximum(n_kf - 1, 0)
+    kidx = jnp.minimum(jnp.arange(K), last)
+    corr_q = corr.q[kidx]
+    corr_t = corr.t[kidx]
+    kt = jnp.where(jnp.arange(K) < n_kf, kf_time_rel_s,
+                   kf_time_rel_s[last]
+                   + 1e3 * (jnp.arange(K, dtype=jnp.float32) - last))
+    c = interpolate_poses(kt, corr_q, corr_t,
+                          jnp.zeros((K, 3), jnp.float32), traj_time)
+    fixed = jax.vmap(lambda cq, ct, q, t: se3.compose(
+        se3.Pose(cq, ct), se3.Pose(q, t)))(c.q, c.t, traj_q, traj_t)
+    row = jnp.arange(traj_q.shape[0]) < n_frames
+    new_q = jnp.where(row[:, None], fixed.q, traj_q)
+    new_t = jnp.where(row[:, None], fixed.t, traj_t)
+    n_accepted = jnp.sum(accept.astype(jnp.int32))
+    # rel (the consecutive odometry-edge measurements) is returned so the
+    # host can mirror the solved graph's factors without re-dispatching.
+    return (out.q, out.t, new_q, new_t, n_accepted, stats,
+            rel.q, rel.t)

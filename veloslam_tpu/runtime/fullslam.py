@@ -212,12 +212,94 @@ class FullSlam(odo.StreamingOdometry):
         dispatched program for all-pairs place recognition."""
         return sc.descriptor_scores(self.ring.desc)
 
+    MAX_KF_CAPACITY = 2048   # dense-solve bound (6K×6K normal matrix)
+
+    def ensure_kf_capacity(self, n: int) -> None:
+        """Grow the device keyframe ring to hold ≥ n keyframes (padded to
+        a power-of-two bucket so nearby recording lengths share compiled
+        programs; capped at MAX_KF_CAPACITY — the dense pose-graph solve
+        scales as (6K)², see graph/optimize).  Beyond the cap the ring
+        saturates and `ring_full` is reported in the results."""
+        cur = self.ring.capacity
+        if n <= cur:
+            return
+        K = 1 << int(np.ceil(np.log2(max(n, 1))))
+        K = min(K, self.MAX_KF_CAPACITY)
+        if K <= cur:
+            return
+        pad = K - cur
+        r = self.ring
+        self.ring = r._replace(
+            q=jnp.concatenate(
+                [r.q, jnp.zeros((pad, 4), jnp.float32).at[:, 0].set(1.0)]),
+            t=jnp.concatenate([r.t, jnp.zeros((pad, 3), jnp.float32)]),
+            time_rel_s=jnp.concatenate(
+                [r.time_rel_s, jnp.zeros(pad, jnp.float32)]),
+            desc=jnp.concatenate(
+                [r.desc, jnp.zeros((pad,) + r.desc.shape[1:],
+                                   jnp.float32)]),
+            pts=jnp.concatenate(
+                [r.pts, jnp.zeros((pad,) + r.pts.shape[1:], jnp.float32)]),
+            msk=jnp.concatenate(
+                [r.msk, jnp.zeros((pad,) + r.msk.shape[1:], bool)]))
+
+    def run_device(self, pkts, times_us, track, batch: int = 512) -> None:
+        # Size the ring for the recording (worst case: every frame is a
+        # keyframe) BEFORE streaming — growing mid-stream would recompile
+        # the fused step.
+        est = int(len(pkts) / odo.packets_per_second(self.model) * 12.0) + 8
+        self.ensure_kf_capacity(est)
+        super().run_device(pkts, times_us, track, batch=batch)
+
+    def finalize_device(self, *, min_score: float, radius: float,
+                        min_gap: int, max_candidates: int,
+                        use_scan_context: bool, gn_iterations: int,
+                        odom_info, closure_info, voxel_size: float,
+                        capacity: int, max_per_keyframe: int = 2) -> dict:
+        """Queue the whole end-of-stream sweep (propose → verify → solve →
+        trajectory correction) as device programs on the live state —
+        call BEFORE any readback; the returned dict leaves stay on device
+        until the caller materializes them (runtime.devfinalize)."""
+        from veloslam_tpu.runtime import devfinalize as dv
+
+        r = self.ring
+        st = self.state
+        cand = dv.propose_closures(
+            r.desc, r.q, r.t, r.n, min_score=float(min_score),
+            radius=float(radius), min_gap=int(min_gap),
+            max_candidates=int(max_candidates),
+            max_per_keyframe=int(max_per_keyframe),
+            use_scan_context=bool(use_scan_context))
+        meas_q, meas_t, accept = dv.verify_closures_device(
+            r.pts, r.msk, cand, voxel_size=float(voxel_size),
+            capacity=int(capacity))
+        (solved_q, solved_t, traj_q, traj_t, n_acc, stats, rel_q,
+         rel_t) = dv.solve_and_correct(
+            r.q, r.t, r.time_rel_s, r.n, cand, meas_q, meas_t, accept,
+            jnp.asarray(odom_info, jnp.float32),
+            jnp.asarray(closure_info, jnp.float32),
+            st.traj_q, st.traj_t, st.traj_time, st.n_frames,
+            gn_iterations=int(gn_iterations))
+        return {
+            "cand_i": cand.i, "cand_j": cand.j, "cand_valid": cand.valid,
+            "meas_q": meas_q, "meas_t": meas_t, "accept": accept,
+            "solved_q": solved_q, "solved_t": solved_t,
+            "traj_q": traj_q, "traj_t": traj_t,
+            "n_accepted": n_acc, "rel_q": rel_q, "rel_t": rel_t,
+            # ring + trajectory state needed by the host bookkeeping —
+            # bundled here so ONE tree readback materializes everything
+            "kf_n": r.n, "kf_time_rel_s": r.time_rel_s,
+            "kf_pts": r.pts, "kf_msk": r.msk, "kf_desc": r.desc,
+            "traj_time": st.traj_time, "n_frames": st.n_frames,
+        }
+
     def keyframes(self) -> dict:
         """Read the ring back (end-of-stream / sweep time)."""
         r = self.ring
         n = int(r.n)
         return {
             "n": n,
+            "ring_full": n >= r.capacity,
             "q": np.asarray(r.q[:n]),
             "t": np.asarray(r.t[:n]),
             "times_us": (np.asarray(r.time_rel_s[:n], np.float64) * 1e6

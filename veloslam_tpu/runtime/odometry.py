@@ -457,7 +457,32 @@ class StreamingOdometry:
     def run(self, pkts: np.ndarray, times_us: np.ndarray, track,
             batch: int = 512) -> dict:
         """Stream a whole recording; returns trajectory dict (single
-        readback at the end).
+        readback at the end)."""
+        if len(pkts) == 0:
+            return {"times_us": np.zeros(0, np.int64),
+                    "quaternions": np.zeros((0, 4), np.float32),
+                    "positions": np.zeros((0, 3), np.float32),
+                    "n_frames": 0}
+        self.run_device(pkts, times_us, track, batch=batch)
+        st = self.state
+        n_frames = int(st.n_frames)          # single readback point
+        return {
+            # float64 before the epoch shift: f32 + 1.7e15 µs would round
+            # to ~134 s granularity
+            "times_us": (np.asarray(st.traj_time[:n_frames],
+                                    np.float64) * 1e6
+                         + self._stream_t0_us).astype(np.int64),
+            "quaternions": np.asarray(st.traj_q[:n_frames]),
+            "positions": np.asarray(st.traj_t[:n_frames]),
+            "n_frames": n_frames,
+        }
+
+    def run_device(self, pkts: np.ndarray, times_us: np.ndarray, track,
+                   batch: int = 512) -> None:
+        """Stream a whole recording WITHOUT any device→host readback —
+        state stays on device so callers can queue further device work
+        (runtime.devfinalize) before the first readback poisons dispatch
+        on the axon backend.
 
         Double-buffered device feed (the reference's hardDriveBuffer1/2
         idea, HDLManager.h:210-211, turned toward H2D): batch k+1 uploads
@@ -470,10 +495,7 @@ class StreamingOdometry:
         through the same compiled fixed-shape program instead of being
         silently dropped."""
         if len(pkts) == 0:
-            return {"times_us": np.zeros(0, np.int64),
-                    "quaternions": np.zeros((0, 4), np.float32),
-                    "positions": np.zeros((0, 3), np.float32),
-                    "n_frames": 0}
+            return
         # Frame slots per dispatch must cover the batch's revolutions.
         need = slots_for_batch(self.model, batch)
         if need > self.MAX_FRAMES_BATCH:
@@ -481,10 +503,13 @@ class StreamingOdometry:
             self._slot_idx = [jnp.asarray(k, jnp.int32)
                               for k in range(need)]
         # Trajectory capacity sized from the recording so long drives
-        # never truncate (the .at[n].set scatter would drop silently).
-        self.ensure_capacity(
-            int(len(pkts) / packets_per_second(self.model) * 12.0)
-            + 2 * self.MAX_FRAMES_BATCH + 16)
+        # never truncate (the .at[n].set scatter would drop silently);
+        # rounded up to a 1024 bucket so nearby recording lengths share
+        # one compiled program (shape-stable across e.g. a short warm
+        # drive and the measured drive).
+        need_cap = (int(len(pkts) / packets_per_second(self.model) * 12.0)
+                    + 2 * self.MAX_FRAMES_BATCH + 16)
+        self.ensure_capacity(-(-need_cap // 1024) * 1024)
         tail = len(pkts) % batch
         if tail:
             from veloslam_tpu.io import packets as pkmod
@@ -504,18 +529,6 @@ class StreamingOdometry:
             t0, t1 = int(times_us[s]), int(times_us[s + batch - 1])
             w = track.window(t0, t1, anchor_us=t0)
             self.feed(cur, times_us[s:s + batch], w)
-        st = self.state
-        n_frames = int(st.n_frames)          # single readback point
-        return {
-            # float64 before the epoch shift: f32 + 1.7e15 µs would round
-            # to ~134 s granularity
-            "times_us": (np.asarray(st.traj_time[:n_frames],
-                                    np.float64) * 1e6
-                         + self._stream_t0_us).astype(np.int64),
-            "quaternions": np.asarray(st.traj_q[:n_frames]),
-            "positions": np.asarray(st.traj_t[:n_frames]),
-            "n_frames": n_frames,
-        }
 
     WINDOW_LEN = 64      # static INS-window length (pose samples)
 

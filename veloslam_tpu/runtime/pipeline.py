@@ -384,23 +384,32 @@ class SlamPipeline:
     def run_offline_batched(self, pcap_path: str,
                             ins_path: Optional[str] = None,
                             max_packets: Optional[int] = None,
-                            batch: int = 8192) -> Dict:
+                            batch: int = 8192,
+                            defer_map: bool = False) -> Dict:
         """High-throughput offline SLAM: the full loop at bulk-replay rate.
 
         Odometry, keyframe selection, and scan-context descriptors run
-        device-resident (runtime.fullslam) with zero mid-stream readbacks;
-        the keyframe set then feeds the SAME loop-closure / pose-graph /
-        map machinery as the per-frame path, so `finalize()` afterwards
-        closes loops and corrects the map exactly as in run_offline.
+        device-resident (runtime.fullslam) with zero mid-stream readbacks,
+        and the END-OF-STREAM sweep — loop-closure proposal (both
+        channels), batched GICP verification, pose-graph solve, per-frame
+        trajectory correction — is queued as device programs too
+        (runtime.devfinalize) BEFORE the first readback: on the axon
+        backend the first device→host readback permanently degrades every
+        later dispatch, so the whole SLAM computation completes with ONE
+        readback at the end.  The host then mirrors the solved graph into
+        the pipeline bookkeeping and builds the tiled product map.
+        `finalize()` afterwards runs only the residual host sweep (new
+        candidates opened by the correction) + the landmark stage.
         Frame payloads are not kept (use run_offline when the FrameStore
         contents matter)."""
-        from veloslam_tpu.graph import scancontext as sc_mod
         from veloslam_tpu.runtime.fullslam import FullSlam
 
         if ins_path:
             self.feed_ins_txt(ins_path)
         pkts, times, _ = read_lidar_packets(pcap_path, max_packets)
         times = self._ground_offline_times(pcap_path, pkts, times)
+        if len(pkts) == 0:
+            return self.results()
         sc = self.cfg.sensor
         rc = self.cfg.registration
         gc = self.cfg.graph
@@ -414,43 +423,155 @@ class SlamPipeline:
                            kf_rot_deg=gc.keyframe_rotation_deg,
                            use_pallas=rc.use_pallas,
                            use_dense=rc.use_dense_index)
-            res = eng.run(pkts, times, self.track, batch=batch)
-        for i in range(res["n_frames"]):
+            eng.run_device(pkts, times, self.track, batch=batch)
+        with self.timers.stage("device_finalize"):
+            dev = eng.finalize_device(
+                min_score=gc.sc_min_score,
+                radius=gc.loop_closure_radius_m,
+                min_gap=gc.loop_closure_min_gap,
+                max_candidates=gc.max_closure_candidates_per_sweep,
+                use_scan_context=gc.use_scan_context,
+                gn_iterations=gc.gn_iterations,
+                odom_info=gc.odom_edge_info,
+                closure_info=gc.closure_edge_info,
+                voxel_size=rc.voxel_size,
+                capacity=rc.scan_voxel_capacity)
+        with self.timers.stage("readback"):
+            host = jax.tree.map(np.asarray, dev)
+        t0 = eng._stream_t0_us or 0
+        n_frames = int(host["n_frames"])
+        n_kf = int(host["kf_n"])
+        self._ring_full = bool(n_kf >= eng.ring.capacity)
+        if self._ring_full:
+            import warnings
+            warnings.warn(
+                f"keyframe ring saturated at {eng.ring.capacity}: "
+                f"keyframes beyond capacity were dropped (drive longer "
+                f"than ~{eng.ring.capacity * eng.kf_dist_m:.0f} m)",
+                RuntimeWarning)
+        ft = (host["traj_time"][:n_frames].astype(np.float64) * 1e6
+              + t0).astype(np.int64)
+        for i in range(n_frames):
             self.trajectory.append(FrameResult(
-                start_us=int(res["times_us"][i]),
-                pose_q=res["quaternions"][i], pose_t=res["positions"][i],
-                n_points=-1, n_matched=-1, mean_error=float("nan"),
-                registered=True))
-        with self.timers.stage("kf_readback"):
-            kfs = eng.keyframes()
-            descs = np.asarray(eng.ring.desc[:kfs["n"]])
-        # Consecutive-keyframe odometry edges in ONE vmapped program +
-        # one readback (a per-k se3.relative loop costs 2 device
-        # round-trips per keyframe).
-        if kfs["n"] > 1:
-            qs, ts = jnp.asarray(kfs["q"]), jnp.asarray(kfs["t"])
-            rel = jax.vmap(lambda qa, ta, qb, tb: se3.relative(
-                se3.Pose(qa, ta), se3.Pose(qb, tb)))(
-                    qs[:-1], ts[:-1], qs[1:], ts[1:])
-            rel_q, rel_t = np.asarray(rel.q), np.asarray(rel.t)
-        for k in range(kfs["n"]):
-            self.graph.add_pose(kfs["q"][k], kfs["t"][k])
-            self.keyframe_scans.append((kfs["pts"][k], kfs["msk"][k]))
-            self.keyframe_descs.append(descs[k])
-            self.keyframe_times.append(int(kfs["times_us"][k]))
-            self._kf_map_pose.append((kfs["q"][k].copy(),
-                                      kfs["t"][k].copy()))
+                start_us=int(ft[i]), pose_q=host["traj_q"][i],
+                pose_t=host["traj_t"][i], n_points=-1, n_matched=-1,
+                mean_error=float("nan"), registered=True))
+        kf_times = (host["kf_time_rel_s"][:n_kf].astype(np.float64) * 1e6
+                    + t0).astype(np.int64)
+        for k in range(n_kf):
+            sq = host["solved_q"][k].copy()
+            st3 = host["solved_t"][k].copy()
+            self.graph.add_pose(sq, st3)
+            self.keyframe_scans.append((host["kf_pts"][k],
+                                        host["kf_msk"][k]))
+            self.keyframe_descs.append(host["kf_desc"][k])
+            self.keyframe_times.append(int(kf_times[k]))
+            self._kf_map_pose.append((sq, st3))
             self._kf_integrated_via.append("batch")
-            self._kf_pose_at_creation.append((kfs["q"][k].copy(),
-                                              kfs["t"][k].copy()))
+            self._kf_pose_at_creation.append((sq.copy(), st3.copy()))
             if k > 0:
-                self.graph.add_edge(k - 1, k, rel_q[k - 1], rel_t[k - 1],
-                                    info=self.cfg.graph.odom_edge_info)
-        # Materialize the tiled map from the keyframe scans (the rolling
-        # device grid was odometry's working set, not the product map).
-        with self.timers.stage("map_build"):
-            self.rebuild_map()
+                self.graph.add_edge(k - 1, k, host["rel_q"][k - 1],
+                                    host["rel_t"][k - 1],
+                                    info=gc.odom_edge_info)
+        for c in range(len(host["accept"])):
+            if host["accept"][c]:
+                i, j = int(host["cand_i"][c]), int(host["cand_j"][c])
+                self.graph.add_edge(i, j, host["meas_q"][c],
+                                    host["meas_t"][c],
+                                    info=gc.closure_edge_info)
+                self.closures.append((i, j))
+        self._kf_count_at_last_close = n_kf
+        self._device_closed = True
+        # Materialize the tiled map from the keyframe scans at the SOLVED
+        # poses (the rolling device grid was odometry's working set, not
+        # the product map).  With `defer_map` the build is left to
+        # `finalize()`, which rebuilds after its solves anyway — callers
+        # that always finalize skip one full map pass.
+        self._map_deferred = defer_map
+        if not defer_map:
+            with self.timers.stage("map_build"):
+                self.rebuild_map()
         return self.results()
+
+    def warmup_batched(self, duration_s: float = 2.0,
+                       batch: int = 8192) -> None:
+        """Pre-compile EVERY program of the batched full-SLAM path
+        (run_offline_batched + finalize) WITHOUT a single device→host
+        readback, so a subsequent measured run in this process pays only
+        dispatch: on the axon backend the first readback permanently
+        degrades later dispatches, which makes an ordinary warm run (which
+        must read its results back) poison the measured one.
+
+        Streams a short synthetic drive through a scratch engine
+        (run_device + finalize_device, block-only), then warms the
+        post-readback host-path programs — map-rebuild / landmark
+        voxelize chunks and the two graph solvers — on zero inputs of the
+        production shapes."""
+        from veloslam_tpu.graph import optimize as opt
+        from veloslam_tpu.graph.posegraph import PoseGraph as PG
+        from veloslam_tpu.io import simulate as sim
+        from veloslam_tpu.map.voxelmap import (_BATCH_CHUNK,
+                                               _transform_build_chunk)
+        from veloslam_tpu.runtime.fullslam import FullSlam
+
+        def block(x):
+            for leaf in jax.tree.leaves(x):
+                if hasattr(leaf, "block_until_ready"):
+                    leaf.block_until_ready()
+
+        sc = self.cfg.sensor
+        rc = self.cfg.registration
+        gc = self.cfg.graph
+        seq = sim.generate_sequence(duration_s=duration_s, model=sc.model,
+                                    seed=11, world=sim.World.demo(2))
+        scratch = SlamPipeline(self.cfg)
+        for t_us, p, yaw, v in zip(seq["ins_t_us"], seq["ins_pos"],
+                                   seq["ins_yaw"], seq["ins_vel"]):
+            scratch.feed_ins_pose(
+                int(t_us),
+                se3.euler_deg_to_quat_np(0.0, 0.0,
+                                         float(np.rad2deg(yaw))),
+                np.asarray(p, float), v)
+        eng = FullSlam(self.dcalib, model=sc.model, n_beams=sc.n_lasers,
+                       voxel_size=rc.voxel_size, reg_points=rc.max_points,
+                       reg_iterations=rc.max_iterations,
+                       kf_capacity=gc.max_keyframes,
+                       kf_dist_m=gc.keyframe_translation_m,
+                       kf_rot_deg=gc.keyframe_rotation_deg,
+                       use_pallas=rc.use_pallas,
+                       use_dense=rc.use_dense_index)
+        eng.run_device(seq["packets"], seq["pkt_times_us"], scratch.track,
+                       batch=batch)
+        dev = eng.finalize_device(
+            min_score=gc.sc_min_score, radius=gc.loop_closure_radius_m,
+            min_gap=gc.loop_closure_min_gap,
+            max_candidates=gc.max_closure_candidates_per_sweep,
+            use_scan_context=gc.use_scan_context,
+            gn_iterations=gc.gn_iterations, odom_info=gc.odom_edge_info,
+            closure_info=gc.closure_edge_info, voxel_size=rc.voxel_size,
+            capacity=rc.scan_voxel_capacity)
+        block(dev)
+        # Post-readback host-path programs on production shapes:
+        P = eng.kf_scan_points
+        zp = jnp.zeros((_BATCH_CHUNK, P, 3), jnp.float32)
+        zm = jnp.zeros((_BATCH_CHUNK, P), bool)
+        zq = jnp.zeros((_BATCH_CHUNK, 4), jnp.float32).at[:, 0].set(1.0)
+        z3 = jnp.zeros((_BATCH_CHUNK, 3), jnp.float32)
+        block(_transform_build_chunk(                      # map rebuild
+            zp, zm, zq, z3, z3,
+            jnp.asarray(self.cfg.map.voxel_size, jnp.float32),
+            capacity=self.cfg.map.voxels_per_patch))
+        block(_transform_build_chunk(                      # landmark posts
+            zp, zm, zq, z3, z3, jnp.asarray(0.5, jnp.float32),
+            capacity=8192))
+        ga = PG(max_poses=self.graph.K, max_edges=self.graph.E,
+                max_landmarks=self.graph.M, max_obs=self.graph.O).arrays()
+        block(opt.solve(ga, max_poses=self.graph.K,
+                        iterations=gc.gn_iterations))
+        if gc.use_landmarks:
+            block(opt.solve_with_landmarks(
+                ga, max_poses=self.graph.K, max_landmarks=self.graph.M,
+                iterations=gc.gn_iterations))
 
     def warmup(self, duration_s: float = 0.35) -> None:
         """Pre-compile the streaming programs (decode → compensate →
@@ -985,28 +1106,31 @@ class SlamPipeline:
         frame correction C_k = T_new_k ∘ T_old_k⁻¹ of each keyframe is
         interpolated (slerp/lerp over keyframe times) at every frame time
         and left-composed onto the frame's pose — exact at keyframes,
-        smooth between them."""
+        smooth between them.
+
+        Pure host numpy: this runs AFTER the end-of-stream readback, where
+        every device dispatch is degraded on the axon backend and the
+        trajectory-length-dependent shapes would recompile per recording —
+        a few thousand poses are microseconds of numpy instead."""
         if not self.trajectory or self.graph.n_poses < 1:
             return
-        from veloslam_tpu.core.timeline import interpolate_poses
+        from veloslam_tpu.core.timeline import interpolate_poses_np
         new_q, new_t = self.graph.poses()
         K = len(new_q)
-        corr = jax.vmap(lambda nq, nt, oq, ot: se3.compose(
-            se3.Pose(nq, nt), se3.inverse(se3.Pose(oq, ot))))(
-                jnp.asarray(new_q), jnp.asarray(new_t),
-                jnp.asarray(old_q[:K]), jnp.asarray(old_t[:K]))
+        inv_q, inv_t = se3.inverse_np(old_q[:K], old_t[:K])
+        corr_q, corr_t = se3.compose_np(new_q, new_t, inv_q, inv_t)
         kt = np.asarray(self.keyframe_times[:K], np.float64)
         ft = np.asarray([r.start_us for r in self.trajectory], np.float64)
         anchor = kt[0]
-        c = interpolate_poses(
-            jnp.asarray((kt - anchor) * 1e-6, jnp.float32),
-            corr.q, corr.t, jnp.zeros((K, 3), jnp.float32),
-            jnp.asarray((ft - anchor) * 1e-6, jnp.float32))
-        fq = jnp.asarray(np.stack([r.pose_q for r in self.trajectory]))
-        ftl = jnp.asarray(np.stack([r.pose_t for r in self.trajectory]))
-        fixed = jax.vmap(lambda cq, ct, q, t: se3.compose(
-            se3.Pose(cq, ct), se3.Pose(q, t)))(c.q, c.t, fq, ftl)
-        q_np, t_np = np.asarray(fixed.q), np.asarray(fixed.t)
+        cq, ct = interpolate_poses_np(
+            (kt - anchor) * 1e-6, corr_q, corr_t,
+            np.zeros((K, 3), np.float32), (ft - anchor) * 1e-6)
+        fq = np.stack([r.pose_q for r in self.trajectory])
+        ftl = np.stack([r.pose_t for r in self.trajectory])
+        q_np, t_np = se3.compose_np(cq, ct, fq, ftl)
+        q_np = (q_np / np.linalg.norm(q_np, axis=-1, keepdims=True)
+                ).astype(np.float32)
+        t_np = t_np.astype(np.float32)
         for i, r in enumerate(self.trajectory):
             r.pose_q, r.pose_t = q_np[i], t_np[i]
 
@@ -1035,8 +1159,14 @@ class SlamPipeline:
     def finalize(self) -> Dict:
         """End-of-session pass: final loop-closure sweep, landmark
         extraction/association, graph solve (Schur-eliminated landmarks
-        when present), map rebuild, per-frame trajectory correction."""
-        self._try_loop_closure()
+        when present), map rebuild, per-frame trajectory correction.
+
+        After a device-finalized batched run (run_offline_batched) the
+        closure sweep already happened on device, so the host sweep is
+        skipped — its programs would otherwise cold-compile here just to
+        re-find excluded pairs."""
+        if not getattr(self, "_device_closed", False):
+            self._try_loop_closure()
         if self.cfg.graph.use_landmarks and self.keyframe_scans:
             self.add_landmark_observations()
         has_closures = self.graph.n_edges > max(self.graph.n_poses - 1, 0)
@@ -1060,6 +1190,12 @@ class SlamPipeline:
                         np.asarray(out.t)[:self.graph.n_poses])
             with self.timers.stage("map_downdate"):
                 self.rebuild_map()
+            self._map_deferred = False
+        if getattr(self, "_map_deferred", False):
+            # Deferred batched-run map build with no solve this pass.
+            with self.timers.stage("map_build"):
+                self.rebuild_map()
+            self._map_deferred = False
         # Correct the per-frame trajectory by each keyframe's TOTAL motion
         # since creation (mid-session sweeps may already have solved —
         # the per-frame trajectory was recorded at creation poses).
@@ -1094,6 +1230,7 @@ class SlamPipeline:
             "keyframe_positions": self.graph.poses()[1].copy(),
             "keyframe_times_us": np.asarray(self.keyframe_times, np.int64),
             "map_patches": self.map.n_patches,
+            "ring_full": getattr(self, "_ring_full", False),
             "timing": self.timers.summary(),
             "ins_health": dict(self.ins_health),
             "gps_health": dict(self.gps_health),
