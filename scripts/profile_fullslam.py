@@ -43,7 +43,7 @@ def main():
           f"n_closures={res['n_closures']}")
     for name, st in sorted(res["timing"].items()):
         print(f"  {name:16s} total={st['total_s']:8.3f}s "
-              f"calls={st['calls']:5d} mean={st['mean_ms']:8.2f}ms")
+              f"count={st['count']:5.0f} mean={st['mean_ms']:8.2f}ms")
 
 
 if __name__ == "__main__":

@@ -55,6 +55,99 @@ def replay_ins_txt(path: str, dest_ip: str, port: int,
     return n
 
 
+def measure_live_loopback(duration_s: float = 5.0, rate: float = 1.0,
+                          fast: bool = True, warm: bool = True,
+                          origin=(31.0, 121.5, 0.0)) -> dict:
+    """Measure live-mode ingest on THIS backend: loopback-replay a
+    simulated drive at `rate`× the sensor's packet pacing through
+    run_online and report sustained pkt/s, receiver drops, frames, and
+    per-batch feed latency (the reference's pacing baseline is its
+    5 kpkt/s replayer, PacketFileSender.cxx:78; the HDL-32 itself sends
+    ≈1808 pkt/s).  `fast` uses the device-resident engine (zero
+    readbacks while streaming) — the mode that keeps up on
+    high-dispatch-latency backends."""
+    import socket
+    import tempfile
+    import threading
+
+    from veloslam_tpu import constants as C
+    from veloslam_tpu.config import GraphConfig, SlamConfig
+    from veloslam_tpu.io import simulate as sim
+    from veloslam_tpu.io.pcap import read_lidar_packets
+    from veloslam_tpu.io.udp import replay_packets
+    from veloslam_tpu.runtime.odometry import packets_per_second
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+
+    cfg = SlamConfig(graph=GraphConfig(use_landmarks=False))
+    if warm:
+        # Pre-compile the live-batch-size programs READBACK-FREE so the
+        # measured stream pays dispatch only (axon discipline).
+        SlamPipeline(cfg).warmup_batched(
+            duration_s=1.0, batch=cfg.pipeline.packets_per_batch)
+
+    seq = sim.generate_sequence(duration_s=duration_s, model="hdl32",
+                                seed=17, world=sim.World.demo(6))
+    paths = sim.write_sequence(seq, tempfile.mkdtemp(), name="live")
+    pkts, _, _ = read_lidar_packets(paths["pcap"])
+
+    def free_port():
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        p = s.getsockname()[1]
+        s.close()
+        return p
+
+    lidar_port, ins_port, pos_port = (free_port() for _ in range(3))
+    pace_us = max(int(1e6 / packets_per_second("hdl32") / rate), 1)
+    sent = {}
+    threads = []
+
+    def start_senders():
+        def send_lidar():
+            sent["lidar"] = replay_packets(pkts, "127.0.0.1", lidar_port,
+                                           pace_us)
+        def send_ins():
+            sent["ins"] = replay_ins_txt(paths["ins"], "127.0.0.1",
+                                         ins_port, origin,
+                                         rate_hz=100.0 * rate)
+        for fn in (send_lidar, send_ins):
+            t = threading.Thread(target=fn, daemon=True)
+            t.start()
+            threads.append(t)
+
+    pipe = SlamPipeline(cfg)
+    t0 = time.time()
+    res = pipe.run_online(lidar_port=lidar_port, ins_port=ins_port,
+                          position_port=pos_port,
+                          origin_llh_deg=origin,
+                          duration_s=duration_s / rate + 30.0,
+                          idle_timeout_s=1.5, on_ready=start_senders,
+                          fast=fast)
+    wall = time.time() - t0
+    for t in threads:
+        t.join(timeout=5.0)
+    st = res["live_stats"]
+    rx = st["lidar_packets"]
+    stream_s = len(pkts) * pace_us * 1e-6
+    return {
+        "rate_x_sensor": rate,
+        "pace_us_per_packet": pace_us,
+        "sent_lidar": sent.get("lidar", 0),
+        "received_lidar": rx,
+        "receiver_dropped": int(st.get("lidar_dropped", 0)),
+        "lost": sent.get("lidar", 0) - rx,
+        "sustained_pkt_per_s": round(rx / max(stream_s, 1e-9), 1),
+        "n_frames": res["n_frames"],
+        "n_keyframes": res["n_keyframes"],
+        "batch_feed_ms_mean": st["batch_feed_ms_mean"],
+        "batch_feed_ms_max": round(st["batch_feed_ms_max"], 3),
+        "batch_period_ms": round(
+            512 * pace_us * 1e-3, 1),
+        "wall_s": round(wall, 2),
+        "mode": "fast" if fast else "per-frame",
+    }
+
+
 def main(argv=None) -> int:
     from veloslam_tpu import constants as C
 

@@ -94,9 +94,18 @@ def verify_closure(pts_i, mask_i, pts_j, mask_j, rel_prior: se3.Pose,
     Scans are in their own keyframe (sensor) frames; `rel_prior` is the
     initial guess for T_i⁻¹∘T_j (e.g. from current graph estimates).
     """
+    # Coarse-to-fine: a 4 m-voxel pass first widens the convergence basin
+    # beyond the fine grid's ±1-voxel correspondence reach (the
+    # appearance channel's prior has no translation; see
+    # runtime/devfinalize.verify_closures_device).
+    grid_c = gicp.build_plane_grid(pts_i, mask_i, jnp.zeros(3),
+                                   4.0 * voxel_size, capacity=capacity // 4,
+                                   min_planarity=0.05)
+    res_c = gicp.register(pts_j, mask_j, grid_c, rel_prior, iterations=6,
+                          max_dist=6.0 * voxel_size)
     grid_i = gicp.build_plane_grid(pts_i, mask_i, jnp.zeros(3), voxel_size,
                                    capacity=capacity)
-    res = gicp.register(pts_j, mask_j, grid_i, rel_prior,
+    res = gicp.register(pts_j, mask_j, grid_i, res_c.pose,
                         iterations=iterations)
     if int(res.n_matched) < min_matches:
         return None
@@ -144,10 +153,20 @@ def verify_closures_batch(pts_i, mask_i, pts_j, mask_j,
     Returns, per candidate, the measured relative pose or None (same
     accept gates as `verify_closure`).
     """
+    # Coarse-to-fine (see verify_closure): 4 m-voxel pass, then fine.
+    grids_c = jax.vmap(
+        lambda p, m: gicp.build_plane_grid(p, m, jnp.zeros(3),
+                                           4.0 * voxel_size,
+                                           capacity=capacity // 4,
+                                           min_planarity=0.05)
+    )(pts_i, mask_i)
+    res_c = gicp.register_batch(pts_j, mask_j, grids_c, rel_priors,
+                                iterations=6, share_target=False,
+                                max_dist=6.0 * voxel_size)
     grids_i = jax.vmap(
         lambda p, m: gicp.build_plane_grid(p, m, jnp.zeros(3), voxel_size,
                                            capacity=capacity))(pts_i, mask_i)
-    res = gicp.register_batch(pts_j, mask_j, grids_i, rel_priors,
+    res = gicp.register_batch(pts_j, mask_j, grids_i, res_c.pose,
                               iterations=iterations, share_target=False)
     H_self, _, _, n_self = jax.vmap(
         lambda p, m, g: gicp.normal_equations(p, m, se3.Pose.identity(), g)

@@ -144,6 +144,28 @@ def circle_trajectory(radius: float = 30.0, speed: float = 5.0,
     return f
 
 
+def figure8_trajectory(radius: float = 8.0, speed: float = 8.0,
+                       z: float = 2.0) -> Callable:
+    """Figure-8: alternating CCW (center (0, R)) and CW (center (0, −R))
+    circles, both through the origin heading +x — the double-revisit
+    drive (the crossing point is revisited once per circle)."""
+    def f(t: np.ndarray):
+        t = np.asarray(t, np.float64)
+        w = speed / radius
+        T = 2.0 * np.pi / w
+        ccw = (np.floor(t / T).astype(np.int64) % 2) == 0
+        ang = w * (t % T)
+        sgn = np.where(ccw, 1.0, -1.0)
+        pos = np.stack([radius * np.sin(ang),
+                        sgn * radius * (1 - np.cos(ang)),
+                        np.full_like(ang, z)], -1)
+        yaw = sgn * ang
+        vel = np.stack([speed * np.cos(ang), sgn * speed * np.sin(ang),
+                        np.zeros_like(ang)], -1)
+        return pos, yaw, vel
+    return f
+
+
 def straight_trajectory(speed: float = 5.0, z: float = 2.0,
                         heading: float = 0.0) -> Callable:
     def f(t: np.ndarray):

@@ -83,7 +83,19 @@ class UdpReceiver:
             ok = (len(data) <= self.payload_size if self.variable
                   else len(data) == self.payload_size)
             if ok and data:
+                if len(self._queue) >= self.capacity:
+                    self._py_dropped += 1     # deque(maxlen) evicts oldest
                 self._queue.append((data, int(time.time() * 1e6)))
+
+    _py_dropped = 0
+
+    @property
+    def dropped(self) -> int:
+        """Datagrams lost to ring/queue overflow since open (the UDP drop
+        counter of the failure-detection story, SURVEY.md §5)."""
+        if self._native is not None:
+            return int(self._native.pp_udp_dropped(self._handle))
+        return self._py_dropped
 
     def poll(self, max_packets: int = 4096
              ) -> Tuple[np.ndarray, np.ndarray]:

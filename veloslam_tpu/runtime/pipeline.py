@@ -424,6 +424,14 @@ class SlamPipeline:
                            use_pallas=rc.use_pallas,
                            use_dense=rc.use_dense_index)
             eng.run_device(pkts, times, self.track, batch=batch)
+        return self._finalize_batched_engine(eng, defer_map=defer_map)
+
+    def _finalize_batched_engine(self, eng, defer_map: bool = False) -> Dict:
+        """Post-stream tail shared by run_offline_batched and the fast
+        live mode: queue the device sweep, read everything back once,
+        mirror the solved graph into the pipeline bookkeeping."""
+        rc = self.cfg.registration
+        gc = self.cfg.graph
         with self.timers.stage("device_finalize"):
             dev = eng.finalize_device(
                 min_score=gc.sc_min_score,
@@ -636,7 +644,7 @@ class SlamPipeline:
                    position_port: int = None,
                    origin_llh_deg=None, duration_s: Optional[float] = None,
                    idle_timeout_s: float = 2.0,
-                   on_ready=None) -> Dict:
+                   on_ready=None, fast: bool = False) -> Dict:
         """Live acquisition (startOnline equivalent, HDLManager.h:111):
         UDP LiDAR + INS + position-packet ingest until `duration_s` elapses
         or the stream goes idle.  HDL µs-into-hour stamps resolve against
@@ -644,7 +652,15 @@ class SlamPipeline:
         port the reference binds, HDLSource.cxx:484-485) carry a valid
         $GPRMC fix; otherwise against the INS time base when available
         (TimeSolver semantics, TimeSolver.cxx:33-49), else the wall
-        clock."""
+        clock.
+
+        `fast=True` routes packet batches through the device-resident
+        FullSlam engine (zero readbacks during the stream; the same
+        end-of-stream device sweep as run_offline_batched) instead of the
+        host-orchestrated per-frame loop — the mode that keeps up with a
+        live sensor on high-dispatch-latency backends.  `live_stats` on
+        the result reports sustained packet counts, receiver drops, and
+        per-batch feed latency."""
         import time as _time
 
         from veloslam_tpu import constants as C
@@ -661,10 +677,55 @@ class SlamPipeline:
         B = self.cfg.pipeline.packets_per_batch
         buf: List[np.ndarray] = []
         buf_times: List[np.ndarray] = []
+        pre_buf: List[np.ndarray] = []     # LiDAR held until a time base
+        pre_times: List[np.ndarray] = []   # (INS/GPS) is established
         buffered = 0
         first_ins_us: Optional[int] = None
         t_start = _time.monotonic()
         last_rx = t_start
+        stats = {"lidar_packets": 0, "ins_datagrams": 0,
+                 "position_packets": 0, "batches": 0,
+                 "batch_feed_ms_max": 0.0, "batch_feed_ms_sum": 0.0}
+        eng = None
+        if fast:
+            from veloslam_tpu.runtime.fullslam import FullSlam
+            from veloslam_tpu.runtime.odometry import slots_for_batch
+            sc2 = self.cfg.sensor
+            rc2 = self.cfg.registration
+            gc2 = self.cfg.graph
+            eng = FullSlam(self.dcalib, model=sc2.model,
+                           n_beams=sc2.n_lasers,
+                           voxel_size=rc2.voxel_size,
+                           reg_points=rc2.max_points,
+                           reg_iterations=rc2.max_iterations,
+                           kf_capacity=gc2.max_keyframes,
+                           kf_dist_m=gc2.keyframe_translation_m,
+                           kf_rot_deg=gc2.keyframe_rotation_deg,
+                           use_pallas=rc2.use_pallas,
+                           use_dense=rc2.use_dense_index)
+            need = slots_for_batch(sc2.model, B)
+            if need > eng.MAX_FRAMES_BATCH:
+                eng.MAX_FRAMES_BATCH = need
+            if duration_s is not None:
+                # Pre-size device buffers so nothing regrows (and thus
+                # recompiles) mid-stream.
+                eng.ensure_kf_capacity(int(duration_s * 12.0) + 8)
+                eng.ensure_capacity(-(-(int(duration_s * 12.0)
+                                        + 2 * eng.MAX_FRAMES_BATCH + 16)
+                                      // 1024) * 1024)
+
+        def consume(pkts_b: np.ndarray, times_b: np.ndarray) -> None:
+            t0b = _time.perf_counter()
+            if eng is not None:
+                t0, t1 = int(times_b[0]), int(times_b[-1])
+                w = self.track.window(t0, t1, anchor_us=t0)
+                eng.feed(pkts_b, times_b, w)   # async dispatch, 0 readbacks
+            else:
+                self.process_packets(pkts_b, times_b)
+            ms = (_time.perf_counter() - t0b) * 1e3
+            stats["batches"] += 1
+            stats["batch_feed_ms_sum"] += ms
+            stats["batch_feed_ms_max"] = max(stats["batch_feed_ms_max"], ms)
 
         # The INS port multiplexes message types of different sizes
         # (InsPVA 104 B, RawINS 24 B, BestGPSPos 20 B) — variable receiver.
@@ -685,27 +746,51 @@ class SlamPipeline:
                         raw[:ln].tobytes(), conv)
                     if t_us is not None and first_ins_us is None:
                         first_ins_us = t_us
+                stats["ins_datagrams"] += len(ins_pkts)
                 pos_pkts, _ = pos_rx.poll()
                 for raw in pos_pkts:
                     self.handle_position_packet(raw.tobytes(), clock)
+                stats["position_packets"] += len(pos_pkts)
                 pkts, rx_times = hdl_rx.poll()
+                stats["lidar_packets"] += len(pkts)
                 if len(pkts):
                     # Resolve GPS µs-into-hour stamps to absolute time —
                     # vectorized; the reference base is GPS grounding when
                     # a position fix arrived, else INS, else wall clock.
-                    fields = pkmod.decode_lidar_packets_np(pkts)
-                    ref = (None if clock.grounded
-                           else (first_ins_us if first_ins_us is not None
-                                 else int(rx_times[0])))
-                    resolved = clock.resolve_batch(fields["gps_us"],
-                                                   ref_time_us=ref)
-                    buf.append(pkts)
-                    buf_times.append(resolved)
-                    buffered += len(pkts)
+                    # The base LATCHES on first resolution, so do NOT
+                    # resolve until a proper base exists: latching the
+                    # wall clock milliseconds before the first INS
+                    # datagram would put LiDAR times and the pose track
+                    # in different epochs, and prior extrapolation across
+                    # that gap destroys every estimate.  Fall back to the
+                    # wall clock only after `base_wait` (pure-LiDAR
+                    # setups with no INS/GPS at all).
+                    base_ready = (clock.grounded
+                                  or first_ins_us is not None
+                                  or _time.monotonic() - t_start > 1.0)
+                    if not base_ready:
+                        pre_buf.append(pkts)
+                        pre_times.append(rx_times)
+                    else:
+                        if pre_buf:      # backlog first (stream order)
+                            pkts = np.concatenate(pre_buf + [pkts])
+                            rx_times = np.concatenate(pre_times
+                                                      + [rx_times])
+                            pre_buf, pre_times = [], []
+                        fields = pkmod.decode_lidar_packets_np(pkts)
+                        ref = (None if clock.grounded
+                               else (first_ins_us
+                                     if first_ins_us is not None
+                                     else int(rx_times[0])))
+                        resolved = clock.resolve_batch(fields["gps_us"],
+                                                       ref_time_us=ref)
+                        buf.append(pkts)
+                        buf_times.append(resolved)
+                        buffered += len(pkts)
                     while buffered >= B:
                         allp = np.concatenate(buf)
                         allt = np.concatenate(buf_times)
-                        self.process_packets(allp[:B], allt[:B])
+                        consume(allp[:B], allt[:B])
                         buf = [allp[B:]]
                         buf_times = [allt[B:]]
                         buffered -= B
@@ -723,6 +808,26 @@ class SlamPipeline:
             # Padded with idle packets (no returns, frozen azimuth) up to
             # the standard batch size: reuses the compiled fixed-shape
             # program instead of compiling one per partial length.
+            if pre_buf:
+                # Stream ended before a base arrived: resolve the backlog
+                # against the wall clock (last resort).
+                pk2 = np.concatenate(pre_buf)
+                rx2 = np.concatenate(pre_times)
+                f2 = pkmod.decode_lidar_packets_np(pk2)
+                ref2 = (None if clock.grounded
+                        else (first_ins_us if first_ins_us is not None
+                              else int(rx2[0])))
+                buf.append(pk2)
+                buf_times.append(clock.resolve_batch(f2["gps_us"],
+                                                     ref_time_us=ref2))
+                buffered += len(pk2)
+                while buffered >= B:
+                    allp = np.concatenate(buf)
+                    allt = np.concatenate(buf_times)
+                    consume(allp[:B], allt[:B])
+                    buf = [allp[B:]]
+                    buf_times = [allt[B:]]
+                    buffered -= B
             if buffered > 0:
                 allp = np.concatenate(buf)[:buffered]
                 allt = np.concatenate(buf_times)[:buffered]
@@ -732,8 +837,17 @@ class SlamPipeline:
                         [allp, pkmod.idle_lidar_packets(allp[-1], pad)])
                     allt = np.concatenate(
                         [allt, np.full(pad, allt[-1], np.int64)])
-                self.process_packets(allp, allt)
-        return self.results()
+                consume(allp, allt)
+            stats["lidar_dropped"] = hdl_rx.dropped
+            stats["ins_dropped"] = ins_rx.dropped
+        if eng is not None and stats["batches"] > 0:
+            self._finalize_batched_engine(eng)
+        stats["batch_feed_ms_mean"] = round(
+            stats.pop("batch_feed_ms_sum")
+            / max(stats["batches"], 1), 3)
+        res = self.results()
+        res["live_stats"] = stats
+        return res
 
     # --- per-frame SLAM loop ------------------------------------------------
 
