@@ -286,10 +286,13 @@ class FullSlam(odo.StreamingOdometry):
             "solved_q": solved_q, "solved_t": solved_t,
             "traj_q": traj_q, "traj_t": traj_t,
             "n_accepted": n_acc, "rel_q": rel_q, "rel_t": rel_t,
-            # ring + trajectory state needed by the host bookkeeping —
-            # bundled here so ONE tree readback materializes everything
+            # ring + trajectory state needed by the host bookkeeping.
+            # The BIG ring arrays (pts/msk: ~100 MB at capacity 1024) are
+            # deliberately NOT here — the host reads `kf_n` first and
+            # slice-reads only the occupied rows (runtime/pipeline), so
+            # the end-of-run transfer is proportional to the drive, not
+            # the ring capacity.
             "kf_n": r.n, "kf_time_rel_s": r.time_rel_s,
-            "kf_pts": r.pts, "kf_msk": r.msk, "kf_desc": r.desc,
             "traj_time": st.traj_time, "n_frames": st.n_frames,
         }
 

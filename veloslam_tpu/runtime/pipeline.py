@@ -446,6 +446,14 @@ class SlamPipeline:
                 capacity=rc.scan_voxel_capacity)
         with self.timers.stage("readback"):
             host = jax.tree.map(np.asarray, dev)
+            # Big ring arrays: slice-read only the occupied rows (the
+            # capacity-sized pts tensor is ~100 MB; a drive's worth is a
+            # few MB over the tunnel).
+            n_kf_early = int(host["kf_n"])
+            r = eng.ring
+            host["kf_pts"] = np.asarray(r.pts[:n_kf_early])
+            host["kf_msk"] = np.asarray(r.msk[:n_kf_early])
+            host["kf_desc"] = np.asarray(r.desc[:n_kf_early])
         t0 = eng._stream_t0_us or 0
         n_frames = int(host["n_frames"])
         n_kf = int(host["kf_n"])
