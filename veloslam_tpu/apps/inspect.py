@@ -20,6 +20,8 @@ import numpy as np
 
 
 def main(argv=None) -> int:
+    from veloslam_tpu.utils import compilecache
+    compilecache.enable()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", help="pipeline checkpoint directory")
     ap.add_argument("--pcap", help="or: decode this pcap directly")

@@ -149,6 +149,8 @@ def measure_live_loopback(duration_s: float = 5.0, rate: float = 1.0,
 
 
 def main(argv=None) -> int:
+    from veloslam_tpu.utils import compilecache
+    compilecache.enable()
     from veloslam_tpu import constants as C
 
     ap = argparse.ArgumentParser(description=__doc__)

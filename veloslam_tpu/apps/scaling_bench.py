@@ -158,6 +158,8 @@ def _worker_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from veloslam_tpu.utils import compilecache
+    compilecache.enable()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--virtual", type=int, metavar="N",
                     help="force CPU with N virtual devices")

@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main(argv=None) -> int:
+    from veloslam_tpu.utils import compilecache
+    compilecache.enable()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pcap", help="input pcap file")
     ap.add_argument("--ins", help="INS text log (reference format)")

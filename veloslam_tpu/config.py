@@ -103,9 +103,19 @@ class RegistrationConfig:
     min_matched_points: int = 500
     min_matched_voxels: int = 50
     # Kernel variants (A/B'd per backend by bench.py): fused-Pallas
-    # normal equations; dense O(1) correspondence index.
+    # normal equations; dense O(1) correspondence index.  The dense index
+    # defaults ON: measured transfer-gated on the TPU v5e it is ~6x faster
+    # per association pass than the binary-search lookup (0.60 s vs 3.59 s
+    # at 96 slots x 32768 pts), and equals it bit-for-bit inside the index
+    # window.
     use_pallas: bool = False
-    use_dense_index: bool = False
+    use_dense_index: bool = True
+    # Re-run correspondence search every k GN iterations (1 = classical
+    # ICP).  Association is the only gather-bound stage (~100x the cost of
+    # a fixed-correspondence iteration on TPU); with INS priors the
+    # correspondence set is stable across consecutive iterations, so k=8
+    # keeps two association passes per 16-iteration solve.
+    reassociate_every: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -120,7 +120,7 @@ def _admit_keyframes(kf: KeyframeRing, slots: odo.SlotResults,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
     "min_points", "min_planarity", "scan_points", "kf_dist_m",
-    "kf_rot_rad", "use_pallas", "use_dense"))
+    "kf_rot_rad", "use_pallas", "use_dense", "reassociate_every"))
 def slam_step_batched(state: SlamState, pkts: jax.Array,
                       calib: DeviceCalib, pkt_rel_s: jax.Array,
                       carry_start_rel_s: jax.Array,
@@ -132,7 +132,8 @@ def slam_step_batched(state: SlamState, pkts: jax.Array,
                       min_points: int = 4, min_planarity: float = 0.35,
                       scan_points: int = 8192, kf_dist_m: float = 2.0,
                       kf_rot_rad: float = 0.1745,
-                      use_pallas: bool = False, use_dense: bool = False
+                      use_pallas: bool = False, use_dense: bool = False,
+                      reassociate_every: int = 1
                       ) -> Tuple[SlamState, jax.Array]:
     """One fused device program: batched odometry + keyframe admission."""
     odom, open_start, slots = odo._batched_core(
@@ -141,7 +142,8 @@ def slam_step_batched(state: SlamState, pkts: jax.Array,
         model=model, n_beams=n_beams, reg_points=reg_points,
         reg_iterations=reg_iterations, max_frames_batch=max_frames_batch,
         min_points=min_points, min_planarity=min_planarity,
-        use_pallas=use_pallas, use_dense=use_dense)
+        use_pallas=use_pallas, use_dense=use_dense,
+        reassociate_every=reassociate_every)
     kf = _admit_keyframes(state.kf, slots, batch_start_rel_stream_s,
                           scan_points=scan_points, kf_dist_m=kf_dist_m,
                           kf_rot_rad=kf_rot_rad)
@@ -162,13 +164,15 @@ class FullSlam(odo.StreamingOdometry):
                  map_capacity: int = 32768, max_frames: int = 4096,
                  kf_capacity: int = 512, kf_scan_points: int = 8192,
                  kf_dist_m: float = 2.0, kf_rot_deg: float = 10.0,
-                 use_pallas: bool = False, use_dense: bool = False):
+                 use_pallas: bool = False, use_dense: bool = False,
+                 reassociate_every: int = 1):
         super().__init__(calib, model=model, n_beams=n_beams,
                          voxel_size=voxel_size, reg_points=reg_points,
                          reg_iterations=reg_iterations,
                          map_capacity=map_capacity, max_frames=max_frames,
                          batched=True, use_pallas=use_pallas,
-                         use_dense=use_dense)
+                         use_dense=use_dense,
+                         reassociate_every=reassociate_every)
         self.kf_scan_points = kf_scan_points
         self.kf_dist_m = float(kf_dist_m)
         self.kf_rot_rad = float(np.deg2rad(kf_rot_deg))
@@ -202,7 +206,8 @@ class FullSlam(odo.StreamingOdometry):
             max_frames_batch=self.MAX_FRAMES_BATCH,
             scan_points=self.kf_scan_points, kf_dist_m=self.kf_dist_m,
             kf_rot_rad=self.kf_rot_rad,
-            use_pallas=self.use_pallas, use_dense=self.use_dense)
+            use_pallas=self.use_pallas, use_dense=self.use_dense,
+            reassociate_every=self.reassociate_every)
         self.state, self.ring = st.odom, st.kf
         self._open_start_dev = open_start
         self._open_anchor = anchor

@@ -103,7 +103,8 @@ def _subsample(frame_xyz, frame_mask, n_out: int):
 def _handle_frame(st: OdometryState, k, fb_xyz, fb_mask, starts, n_done,
                   batch_start_rel_stream_s, track_rel_s, track_q, track_t,
                   track_v, *, reg_points: int, reg_iterations: int,
-                  min_points: int, min_planarity: float) -> OdometryState:
+                  min_points: int, min_planarity: float,
+                  reassociate_every: int = 1) -> OdometryState:
     """Register frame slot `k` (if k < n_done) and fold it into the state.
 
     Shared body of the fused `odometry_step` and the chained
@@ -125,7 +126,8 @@ def _handle_frame(st: OdometryState, k, fb_xyz, fb_mask, starts, n_done,
                                       min_points=min_points,
                                       min_planarity=min_planarity)
         res = gicp.register(pts_local, msk, target, prior,
-                            iterations=reg_iterations)
+                            iterations=reg_iterations,
+                            reassociate_every=reassociate_every)
         healthy = (res.n_matched > 500) & jnp.all(
             jnp.isfinite(res.pose.t)) & st.have_map
         est = se3.Pose(jnp.where(healthy, res.pose.q, prior.q),
@@ -173,15 +175,16 @@ def assemble_step(carry: AssemblyCarry, pkts: jax.Array, calib: DeviceCalib,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "reg_points", "reg_iterations", "min_points", "min_planarity"))
+    "reg_points", "reg_iterations", "min_points", "min_planarity",
+    "reassociate_every"))
 def frame_step(state: OdometryState, k: jax.Array, fb_xyz: jax.Array,
                fb_mask: jax.Array, starts: jax.Array, n_done: jax.Array,
                batch_start_rel_stream_s: jax.Array,
                track_rel_s: jax.Array, track_q: jax.Array,
                track_t: jax.Array, track_v: jax.Array, *,
                reg_points: int = 16384, reg_iterations: int = 8,
-               min_points: int = 4, min_planarity: float = 0.35
-               ) -> OdometryState:
+               min_points: int = 4, min_planarity: float = 0.35,
+               reassociate_every: int = 1) -> OdometryState:
     """Chained-path stage 2: register/integrate ONE frame slot.
 
     `k` is a device scalar so all slots share one executable; the
@@ -195,7 +198,7 @@ def frame_step(state: OdometryState, k: jax.Array, fb_xyz: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
-    "min_points", "min_planarity"))
+    "min_points", "min_planarity", "reassociate_every"))
 def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
                   pkt_rel_s: jax.Array, carry_start_rel_s: jax.Array,
                   batch_start_rel_stream_s: jax.Array,
@@ -203,7 +206,8 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
                   track_t: jax.Array, track_v: jax.Array, *,
                   model: str, n_beams: int, reg_points: int = 16384,
                   reg_iterations: int = 8, max_frames_batch: int = 4,
-                  min_points: int = 4, min_planarity: float = 0.35
+                  min_points: int = 4, min_planarity: float = 0.35,
+                  reassociate_every: int = 1
                   ) -> Tuple[OdometryState, jax.Array]:
     """Fused single-program variant: consume one packet batch; returns
     (new state, open_start_rel_s).
@@ -236,7 +240,8 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
             state, k, fb.xyz, fb.mask, starts, n_done,
             batch_start_rel_stream_s, track_rel_s, track_q, track_t,
             track_v, reg_points=reg_points, reg_iterations=reg_iterations,
-            min_points=min_points, min_planarity=min_planarity)
+            min_points=min_points, min_planarity=min_planarity,
+            reassociate_every=reassociate_every)
     return state, open_start
 
 
@@ -261,7 +266,8 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
                   model: str, n_beams: int, reg_points: int,
                   reg_iterations: int, max_frames_batch: int,
                   min_points: int, min_planarity: float,
-                  use_pallas: bool = False, use_dense: bool = False
+                  use_pallas: bool = False, use_dense: bool = False,
+                  reassociate_every: int = 1
                   ) -> Tuple[OdometryState, jax.Array, SlotResults]:
     """Shared body of the batched odometry step; also returns per-slot
     results so callers (runtime.fullslam) can select keyframes without a
@@ -298,7 +304,8 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
     dense = vx.build_dense_index(state.map_grid) if use_dense else None
     res = gicp.register_batch(pts_local, msk, target, priors, dense,
                               iterations=reg_iterations,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas,
+                              reassociate_every=reassociate_every)
     healthy = ((res.n_matched > 500)
                & jax.vmap(lambda t: jnp.all(jnp.isfinite(t)))(res.pose.t)
                & state.have_map)                           # (F,)
@@ -355,7 +362,8 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
-    "min_points", "min_planarity", "use_pallas", "use_dense"))
+    "min_points", "min_planarity", "use_pallas", "use_dense",
+    "reassociate_every"))
 def odometry_step_batched(state: OdometryState, pkts: jax.Array,
                           calib: DeviceCalib, pkt_rel_s: jax.Array,
                           carry_start_rel_s: jax.Array,
@@ -366,7 +374,8 @@ def odometry_step_batched(state: OdometryState, pkts: jax.Array,
                           reg_iterations: int = 8,
                           max_frames_batch: int = 4, min_points: int = 4,
                           min_planarity: float = 0.35,
-                          use_pallas: bool = False, use_dense: bool = False
+                          use_pallas: bool = False, use_dense: bool = False,
+                          reassociate_every: int = 1
                           ) -> Tuple[OdometryState, jax.Array]:
     """Throughput variant of `odometry_step`: ALL frame slots register in
     one vmapped GICP program against the batch-start map, then merge.
@@ -386,7 +395,8 @@ def odometry_step_batched(state: OdometryState, pkts: jax.Array,
         model=model, n_beams=n_beams, reg_points=reg_points,
         reg_iterations=reg_iterations, max_frames_batch=max_frames_batch,
         min_points=min_points, min_planarity=min_planarity,
-        use_pallas=use_pallas, use_dense=use_dense)
+        use_pallas=use_pallas, use_dense=use_dense,
+        reassociate_every=reassociate_every)
     return state, open_start
 
 
@@ -417,7 +427,8 @@ class StreamingOdometry:
                  reg_points: int = 16384, reg_iterations: int = 8,
                  map_capacity: int = 32768, max_frames: int = 4096,
                  fused: bool = True, batched: bool = False,
-                 use_pallas: bool = False, use_dense: bool = False):
+                 use_pallas: bool = False, use_dense: bool = False,
+                 reassociate_every: int = 1):
         self.calib = calib
         self.model = model
         self.n_beams = n_beams
@@ -427,6 +438,7 @@ class StreamingOdometry:
         self.batched = batched
         self.use_pallas = use_pallas
         self.use_dense = use_dense
+        self.reassociate_every = reassociate_every
         self.state = init_state(n_beams, map_capacity=map_capacity,
                                 max_frames=max_frames,
                                 voxel_size=voxel_size)
@@ -581,7 +593,8 @@ class StreamingOdometry:
                 reg_points=self.reg_points,
                 reg_iterations=self.reg_iterations,
                 max_frames_batch=self.MAX_FRAMES_BATCH,
-                use_pallas=self.use_pallas, use_dense=self.use_dense)
+                use_pallas=self.use_pallas, use_dense=self.use_dense,
+                reassociate_every=self.reassociate_every)
         elif self.fused:
             self.state, open_start = odometry_step(
                 self.state, jnp.asarray(pkts), self.calib, rel, carry_start,
@@ -589,7 +602,8 @@ class StreamingOdometry:
                 model=self.model, n_beams=self.n_beams,
                 reg_points=self.reg_points,
                 reg_iterations=self.reg_iterations,
-                max_frames_batch=self.MAX_FRAMES_BATCH)
+                max_frames_batch=self.MAX_FRAMES_BATCH,
+                reassociate_every=self.reassociate_every)
         else:
             # Chained path: same per-batch cost as fused (measured), but
             # each piece compiles in seconds instead of minutes on the
@@ -605,6 +619,7 @@ class StreamingOdometry:
                     self.state, k_dev, fb_xyz, fb_mask, starts, n_done,
                     batch_rel, *trk,
                     reg_points=self.reg_points,
-                    reg_iterations=self.reg_iterations)
+                    reg_iterations=self.reg_iterations,
+                    reassociate_every=self.reassociate_every)
         self._open_start_dev = open_start
         self._open_anchor = anchor

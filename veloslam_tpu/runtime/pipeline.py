@@ -422,7 +422,8 @@ class SlamPipeline:
                            kf_dist_m=gc.keyframe_translation_m,
                            kf_rot_deg=gc.keyframe_rotation_deg,
                            use_pallas=rc.use_pallas,
-                           use_dense=rc.use_dense_index)
+                           use_dense=rc.use_dense_index,
+                           reassociate_every=rc.reassociate_every)
             eng.run_device(pkts, times, self.track, batch=batch)
         return self._finalize_batched_engine(eng, defer_map=defer_map)
 
@@ -555,7 +556,8 @@ class SlamPipeline:
                        kf_dist_m=gc.keyframe_translation_m,
                        kf_rot_deg=gc.keyframe_rotation_deg,
                        use_pallas=rc.use_pallas,
-                       use_dense=rc.use_dense_index)
+                       use_dense=rc.use_dense_index,
+                       reassociate_every=rc.reassociate_every)
         eng.run_device(seq["packets"], seq["pkt_times_us"], scratch.track,
                        batch=batch)
         dev = eng.finalize_device(
@@ -710,7 +712,8 @@ class SlamPipeline:
                            kf_dist_m=gc2.keyframe_translation_m,
                            kf_rot_deg=gc2.keyframe_rotation_deg,
                            use_pallas=rc2.use_pallas,
-                           use_dense=rc2.use_dense_index)
+                           use_dense=rc2.use_dense_index,
+                           reassociate_every=rc2.reassociate_every)
             need = slots_for_batch(sc2.model, B)
             if need > eng.MAX_FRAMES_BATCH:
                 eng.MAX_FRAMES_BATCH = need
@@ -923,7 +926,8 @@ class SlamPipeline:
                 T_prior, iterations=rc.max_iterations,
                 damping=rc.damping, huber_delta=rc.huber_delta,
                 max_dist=rc.max_correspondence_dist,
-                use_pallas=rc.use_pallas, dense=dense)
+                use_pallas=rc.use_pallas, dense=dense,
+                reassociate_every=rc.reassociate_every)
 
     def _integrate_scan(self, pts_world: np.ndarray, mask: np.ndarray,
                         center: np.ndarray, map_obj=None,
