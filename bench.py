@@ -56,7 +56,7 @@ BATCH_PACKETS = 16384    # ≈ 90.6 HDL-32 revolutions per dispatched program
 MAX_FRAMES_BATCH = 96
 HDL32_PACKETS_PER_SECOND = 1e6 / 46.08 / 12      # ≈ 1808.4
 FRAMES_PER_BATCH = BATCH_PACKETS / HDL32_PACKETS_PER_SECOND * 10.0
-REG_POINTS = 32768
+REG_POINTS = 16384
 REG_ITERATIONS = 16
 MAP_CAPACITY = 32768
 REASSOCIATE_EVERY = 8
@@ -68,8 +68,8 @@ REASSOCIATE_EVERY = 8
 # on this container's host CPU (see BASELINE.md).  REFERENCE_CPU_CONFIG
 # pins the bulk config the number was measured under; main() nulls
 # vs_baseline if the live config no longer matches.
-REFERENCE_CPU_FPS = 1.766
-REFERENCE_CPU_CONFIG = ("pkts16384-slots96-pts32768-iters16-map32768"
+REFERENCE_CPU_FPS = 79.841
+REFERENCE_CPU_CONFIG = ("pkts16384-slots96-pts16384-iters16-map32768"
                         "-dense-ra8")
 
 

@@ -242,9 +242,16 @@ def test_dense_index_lookup_matches_search(world):
 
     r0 = gicp.register(sp, sm, grid, se3.Pose.identity(), iterations=16)
     r1 = gicp.register(sp, sm, grid, se3.Pose.identity(), iterations=16,
-                       dense=dense)
+                       dense=dense, dense_approx_centers=False)
     np.testing.assert_allclose(np.asarray(r1.pose.t), np.asarray(r0.pose.t),
                                atol=2e-3)
+    # The production default picks the nearest arm by voxel CENTER instead
+    # of gathered means (one fewer 7P-row gather); the converged pose must
+    # stay within a few mm of the exact-arm result.
+    r2 = gicp.register(sp, sm, grid, se3.Pose.identity(), iterations=16,
+                       dense=dense)
+    np.testing.assert_allclose(np.asarray(r2.pose.t), np.asarray(r0.pose.t),
+                               atol=1e-2)
 
 
 def test_register_batch_matches_sequential(world):
@@ -371,3 +378,43 @@ def test_reassociate_every_matches_classical(world):
                          iterations=16, reassociate_every=1)
     np.testing.assert_allclose(np.asarray(res1.pose.t),
                                np.asarray(ref.pose.t), atol=1e-6)
+
+
+def test_dilated_index_registration(world):
+    """The pre-dilated dense index (production TPU path: one gather per
+    point, neighborhood + usable gating baked into the table) must agree
+    with the classical search wherever the point's own voxel is usable,
+    and registration through it must recover the ground-truth transform."""
+    tgt = _static_scan(world, np.array([0.0, 0.0, 2.0]), 0.0)
+    t_gt = np.array([0.1, 0.4, 0.03], np.float32)
+    yaw_gt = np.deg2rad(2.0)
+    src = _static_scan(world, np.array([0.1, 0.4, 2.03]), yaw_gt)
+    P = 32768
+    tp, tm = _pad(tgt, P)
+    sp, sm = _pad(src, P)
+    grid = gicp.build_plane_grid(tp, tm, np.zeros(3), 1.0, capacity=8192)
+    dil = vx.build_dilated_index(grid.grid, grid.usable)
+
+    i_dil = np.asarray(vx.lookup_dilated(grid.grid, dil, sp, sm))
+    i_ref = np.asarray(vx.lookup_nearest(grid.grid, sp, sm, grid.usable))
+    # Where the containing voxel itself is usable both must pick it.
+    keys = np.asarray(vx.pack_keys(sp, sm, grid.grid.keys.dtype.type(0) * 0
+                                   + np.zeros(3, np.float32),
+                                   np.float32(1.0)))
+    own = np.asarray(vx.lookup(grid.grid, jnp.asarray(keys)))
+    own_usable = (own >= 0) & np.asarray(grid.usable)[np.maximum(own, 0)]
+    # The dilated table's contract: a usable containing voxel wins.
+    np.testing.assert_array_equal(i_dil[own_usable], own[own_usable])
+    # The classical search prefers a nearer-mean NEIGHBOR for a small
+    # fraction of edge points — overall agreement stays high.
+    agree = (i_dil[own_usable] == i_ref[own_usable]).mean()
+    assert agree > 0.9, agree
+    # Fallback cells still resolve to usable rows only.
+    hits = i_dil[i_dil >= 0]
+    assert np.asarray(grid.usable)[hits].all()
+
+    res = gicp.register(sp, sm, grid, se3.Pose.identity(), iterations=16,
+                        dense=dil, reassociate_every=8)
+    np.testing.assert_allclose(np.asarray(res.pose.t), t_gt, atol=0.05)
+    np.testing.assert_allclose(np.asarray(se3.quat_log(res.pose.q)),
+                               [0, 0, yaw_gt], atol=0.01)

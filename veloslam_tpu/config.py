@@ -97,7 +97,10 @@ class RegistrationConfig:
     # line-like scan-ring voxels whose normals bias registration).
     min_planarity: float = 0.35
     # Points per scan fed to registration (subsampled, static shape).
-    max_points: int = 32768
+    # 16384 of an HDL-32 revolution's ~70k returns: halves the gather-
+    # bound association cost for no measured ATE change on the simulator
+    # drives (tests assert the bounds).
+    max_points: int = 16384
     # Health gates: a registration result is trusted only with at least
     # this many correspondences (points for gicp/ndt, voxels for d2d).
     min_matched_points: int = 500

@@ -82,12 +82,13 @@ class AssemblyCarry(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("model", "n_beams", "max_frames",
-                                             "max_firings"))
+                                             "max_firings", "lean"))
 def assemble_frames(decoded: DecodedBatch, xyz_world: jax.Array,
                     pkt_rel_s: jax.Array, carry: AssemblyCarry,
                     carry_start_rel_s: jax.Array, *, model: str,
                     n_beams: int, max_frames: int = 8,
-                    max_firings: int = C.MAX_FIRINGS_PER_FRAME
+                    max_firings: int = C.MAX_FIRINGS_PER_FRAME,
+                    lean: bool = False
                     ) -> Tuple[FrameBatch, jax.Array, jax.Array,
                                AssemblyCarry, jax.Array]:
     """One assembly step.
@@ -108,6 +109,10 @@ def assemble_frames(decoded: DecodedBatch, xyz_world: jax.Array,
        start_rel_s: (max_frames,) float32 — frame start per slot, batch base,
        new carry,
        open_start_rel_s: () float32 — the new open frame's start, batch base).
+
+    `lean=True` skips the intensity / rel_s / azimuth scatters (three of
+    the five big scatter programs) and returns zeros in those FrameBatch
+    fields — the odometry fast path consumes only xyz + mask.
     """
     lasers = C.HDL_LASERS_PER_FIRING
     N = decoded.xyz.shape[0]
@@ -152,25 +157,34 @@ def assemble_frames(decoded: DecodedBatch, xyz_world: jax.Array,
     sl = jnp.where(ok, slot_b[:, None], TRASH)
     pp = jnp.where(ok, jnp.minimum(pos_pt, F - 1), F - 1)
     lp = jnp.clip(decoded.laser_id.reshape(B, lasers), 0, L - 1)
-    idx = (sl, lp, pp)
+    # Flat linear scatter indices: multi-dimensional scatter indices lower
+    # poorly on TPU (same pathology as multi-dim gathers); a computed flat
+    # index into a reshaped buffer takes the fast single-axis path.
+    flat_idx = ((sl * L + lp) * F + pp).reshape(-1)     # (B*32,)
+    M = (S + 2) * L * F
 
-    def init_buf(carry_arr, extra=()):
+    def scatter(carry_arr, vals, extra=()):
         buf = jnp.zeros((S + 2, L, F, *extra), carry_arr.dtype)
-        return buf.at[0].set(carry_arr)
+        buf = buf.at[0].set(carry_arr).reshape(M, *extra)
+        out = buf.at[flat_idx].set(vals.reshape(-1, *extra), mode="drop")
+        return out.reshape(S + 2, L, F, *extra)
 
-    rel_pt = (rel_block[:, None] + (decoded.dt_s.reshape(B, lasers)
-                                    - decoded.dt_s[:, :, :1].reshape(B, 1)))
-    rel_frame_pt = rel_pt - frame_start[:, None]        # frame-relative
+    def zeros_like_buf(carry_arr, extra=()):
+        return jnp.zeros((S + 2, L, F, *extra), carry_arr.dtype)
 
-    xyz_buf = init_buf(carry.xyz, (3,)).at[idx].set(
-        xyz_world.reshape(B, lasers, 3), mode="drop")
-    int_buf = init_buf(carry.intensity).at[idx].set(
-        decoded.intensity.reshape(B, lasers), mode="drop")
-    rel_buf = init_buf(carry.rel_s).at[idx].set(rel_frame_pt, mode="drop")
-    az_buf = init_buf(carry.azimuth).at[idx].set(
-        decoded.az_pt_ticks.reshape(B, lasers), mode="drop")
-    mask_buf = init_buf(carry.mask).at[idx].set(
-        jnp.ones_like(ok), mode="drop")
+    xyz_buf = scatter(carry.xyz, xyz_world.reshape(B, lasers, 3), (3,))
+    if lean:
+        int_buf = zeros_like_buf(carry.intensity)
+        rel_buf = zeros_like_buf(carry.rel_s)
+        az_buf = zeros_like_buf(carry.azimuth)
+    else:
+        rel_pt = (rel_block[:, None] + (decoded.dt_s.reshape(B, lasers)
+                                        - decoded.dt_s[:, :, :1].reshape(B, 1)))
+        rel_frame_pt = rel_pt - frame_start[:, None]    # frame-relative
+        int_buf = scatter(carry.intensity, decoded.intensity.reshape(B, lasers))
+        rel_buf = scatter(carry.rel_s, rel_frame_pt)
+        az_buf = scatter(carry.azimuth, decoded.az_pt_ticks.reshape(B, lasers))
+    mask_buf = scatter(carry.mask, jnp.ones_like(ok))
     # Clear anything that landed in the trash slot's real rows.
     mask_buf = mask_buf.at[TRASH].set(False)
 

@@ -86,7 +86,7 @@ def build_plane_grid(pts: jax.Array, mask: jax.Array, origin, voxel_size, *,
 
 
 def associate(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
-              target: PlaneGrid, dense=None):
+              target: PlaneGrid, dense=None, approx_centers: bool = False):
     """Correspondence search at the CURRENT pose: per-point target plane
     (μ, n) + hit mask.  This is the gather-heavy half of a GICP iteration
     (voxel lookup + stat gathers); the linearization half is pure
@@ -98,8 +98,13 @@ def associate(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
     between consecutive iterations."""
     g = target.grid
     p = se3.apply(pose, pts)
-    if dense is not None:
-        idx = vx.lookup_nearest_dense(g, dense, p, mask, target.usable)
+    if isinstance(dense, vx.DilatedIndex):
+        # Pre-dilated table: the 7-neighborhood choice + usable gating are
+        # baked in at build time — one gather per point here.
+        idx = vx.lookup_dilated(g, dense, p, mask)
+    elif dense is not None:
+        idx = vx.lookup_nearest_dense(g, dense, p, mask, target.usable,
+                                      approx_centers=approx_centers)
     else:
         idx = vx.lookup_nearest(g, p, mask, target.usable)
     hit = idx >= 0
@@ -167,12 +172,14 @@ def normal_equations(pts: jax.Array, mask: jax.Array, pose: se3.Pose,
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "use_pallas",
-                                             "reassociate_every"))
+                                             "reassociate_every",
+                                             "dense_approx_centers"))
 def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
              init_pose: se3.Pose, *, iterations: int = 16,
              damping: float = 1e-6, huber_delta: float = 0.5,
              max_dist: float = 2.0, use_pallas: bool = False,
-             dense=None, reassociate_every: int = 1) -> GicpResult:
+             dense=None, reassociate_every: int = 1,
+             dense_approx_centers: bool = True) -> GicpResult:
     """Gauss-Newton point-to-plane registration of a source scan against a
     target plane grid.  Fixed iteration count (static shapes); convergence
     is reflected in `mean_error`, not in early exit.
@@ -218,7 +225,8 @@ def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
     done = 0
     while done < iterations:
         block = min(k, iterations - done)
-        mu, n, hit0 = associate(pts, mask, state[0], target, dense)
+        mu, n, hit0 = associate(pts, mask, state[0], target, dense,
+                                approx_centers=dense_approx_centers)
         state = jax.lax.fori_loop(
             0, block, lambda _, s: gn_iter(s, mu, n, hit0), state)
         done += block
@@ -229,14 +237,16 @@ def register(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
 
 @functools.partial(jax.jit, static_argnames=("iterations", "use_pallas",
                                              "share_target",
-                                             "reassociate_every"))
+                                             "reassociate_every",
+                                             "dense_approx_centers"))
 def register_batch(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
                    init_poses: se3.Pose, dense=None, *,
                    iterations: int = 16,
                    damping: float = 1e-6, huber_delta: float = 0.5,
                    max_dist: float = 2.0, use_pallas: bool = False,
                    share_target: bool = True,
-                   reassociate_every: int = 1) -> GicpResult:
+                   reassociate_every: int = 1,
+                   dense_approx_centers: bool = True) -> GicpResult:
     """Register F independent scans in ONE dispatched program (vmap).
 
     Two production uses:
@@ -261,7 +271,8 @@ def register_batch(pts: jax.Array, mask: jax.Array, target: PlaneGrid,
         return register(p, m, t, i, iterations=iterations, damping=damping,
                         huber_delta=huber_delta, max_dist=max_dist,
                         use_pallas=use_pallas, dense=d,
-                        reassociate_every=reassociate_every)
+                        reassociate_every=reassociate_every,
+                        dense_approx_centers=dense_approx_centers)
     t_axes = None if share_target else 0
     return jax.vmap(fn, in_axes=(0, 0, t_axes, 0, None))(
         pts, mask, target, init_poses, dense)

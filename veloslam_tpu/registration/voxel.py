@@ -284,25 +284,123 @@ def build_dense_index(grid: VoxelGrid, *, shape=(256, 256, 64),
 
 def lookup_nearest_dense(grid: VoxelGrid, dense: DenseIndex, pts: jax.Array,
                          mask: jax.Array, usable: jax.Array,
-                         bits: int = 10) -> jax.Array:
-    """lookup_nearest via the dense index: 7 direct gathers, no searches."""
+                         bits: int = 10,
+                         approx_centers: bool = False) -> jax.Array:
+    """lookup_nearest via the dense index: direct gathers, no searches.
+
+    Lowering notes (measured on TPU v5e, 96×32768 queries): XLA lowers
+    single-axis gathers from a FLAT table at ~20 GB/s, but 3-D advanced
+    indexing and take_along_axis of the same data an order of magnitude
+    slower — so candidate cells are flattened to linear indices by
+    arithmetic, and the winning arm is extracted with a 7-way select
+    instead of a gather.  `approx_centers` picks the nearest arm by
+    distance to voxel CENTERS (pure arithmetic) instead of gathered voxel
+    means — one fewer 7P-row gather for a ≤½-voxel approximation in the
+    tie-break only (which voxel plane a boundary point matches; the
+    residual gate downstream bounds the effect).
+    """
     half = 1 << (bits - 1)
     g = (jnp.floor((pts - grid.origin) / grid.voxel_size).astype(jnp.int32)
          + half - dense.lo)                                   # (P, 3)
-    shape = jnp.asarray(dense.table.shape, jnp.int32)
+    X, Y, Z = dense.table.shape
+    shape = jnp.asarray((X, Y, Z), jnp.int32)
     offsets = jnp.asarray([[0, 0, 0], [0, 0, 1], [0, 0, -1], [0, 1, 0],
                            [0, -1, 0], [1, 0, 0], [-1, 0, 0]], jnp.int32)
     cand = g[None, :, :] + offsets[:, None, :]                # (7, P, 3)
     inside = jnp.all((cand >= 0) & (cand < shape), axis=-1) & mask[None, :]
     cc = jnp.clip(cand, 0, shape - 1)
-    idx7 = dense.table[cc[..., 0], cc[..., 1], cc[..., 2]]    # (7, P)
+    flat = (cc[..., 0] * Y + cc[..., 1]) * Z + cc[..., 2]     # (7, P)
+    idx7 = dense.table.reshape(-1)[flat]                      # (7, P)
     ok7 = inside & (idx7 >= 0) & usable[jnp.maximum(idx7, 0)]
-    mu7 = grid.mean[jnp.maximum(idx7, 0)]
-    d2 = jnp.sum((pts[None] - mu7) ** 2, axis=-1)
+    if approx_centers:
+        # Voxel-center coordinates in world units, no gathers.
+        ctr = ((cand + dense.lo - half).astype(jnp.float32) + 0.5) \
+            * grid.voxel_size + grid.origin
+        d2 = jnp.sum((pts[None] - ctr) ** 2, axis=-1)
+    else:
+        mu7 = grid.mean[jnp.maximum(idx7, 0)]                 # (7, P, 3)
+        d2 = jnp.sum((pts[None] - mu7) ** 2, axis=-1)
     d2 = jnp.where(ok7, d2, jnp.inf)
-    best = jnp.argmin(d2, axis=0)
-    idx = jnp.take_along_axis(idx7, best[None], axis=0)[0]
+    best = jnp.argmin(d2, axis=0)                             # (P,)
+    sel = best[None, :] == jnp.arange(7, dtype=best.dtype)[:, None]
+    idx = jnp.sum(jnp.where(sel, idx7, 0), axis=0)
     return jnp.where(jnp.any(ok7, axis=0), idx, -1)
+
+
+class DilatedIndex(NamedTuple):
+    """Dense direct-mapped index whose cells are PRE-DILATED over the
+    7-cell face neighborhood: `table[x, y, z]` holds the row of a usable
+    voxel in the cell itself or (fixed-priority: self, ±z, ±y, ±x) one of
+    its face neighbors, or −1.
+
+    This moves the entire neighbor search out of the per-point path: one
+    association pass is ONE computed-index gather per point instead of 7
+    gathers + usable gathers + a distance argmin.  The build is 13 shifted
+    selects over the (X, Y, Z) int32/bool tables — contiguous VPU work,
+    no gathers — plus one table-sized usable gather, and is amortized over
+    every association pass against the same target (2 per batch at
+    reassociate_every=8).
+
+    Semantics vs lookup_nearest_dense: when the point's own voxel is
+    usable both pick it (the distance argmin virtually always prefers the
+    containing voxel); when it is not, the dilated table falls back to a
+    fixed-priority neighbor instead of the nearest-mean neighbor.  The
+    point-to-plane residual gate (max_dist) bounds the effect of the
+    different tie-break.
+    """
+
+    table: jax.Array     # (X, Y, Z) int32 — usable row for the cell, or −1
+    lo: jax.Array        # (3,) int32 — key-space coords of table[0,0,0]
+
+
+def _shift_fill(a: jax.Array, axis: int, d: int, fill) -> jax.Array:
+    """Shift along `axis` by d (±1) filling the vacated edge (no wrap)."""
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (1, 0) if d > 0 else (0, 1)
+    padded = jnp.pad(a, pad, constant_values=fill)
+    start = [0] * a.ndim
+    if d < 0:
+        start[axis] = 1
+    return jax.lax.dynamic_slice(padded, start, a.shape)
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "bits"))
+def build_dilated_index(grid: VoxelGrid, usable: jax.Array, *,
+                        shape=(256, 256, 64), bits: int = 10
+                        ) -> DilatedIndex:
+    """Build a DilatedIndex for the USABLE voxels of `grid` (usable is the
+    per-row gate from gicp.plane_grid_from)."""
+    base = build_dense_index(grid, shape=shape, bits=bits)
+    t = base.table
+    ok = (t >= 0) & usable[jnp.maximum(t, 0)]
+    src = jnp.where(ok, t, -1)     # usable cells only (dilation source)
+    sel_t = src
+    sel_ok = ok
+    # ±z first: vertical neighbors usually continue the same surface.
+    for axis, d in ((2, 1), (2, -1), (1, 1), (1, -1), (0, 1), (0, -1)):
+        ct = _shift_fill(src, axis, d, -1)
+        cok = _shift_fill(ok, axis, d, False)
+        take = (~sel_ok) & cok
+        sel_t = jnp.where(take, ct, sel_t)
+        sel_ok = sel_ok | take
+    return DilatedIndex(table=sel_t, lo=base.lo)
+
+
+def lookup_dilated(grid: VoxelGrid, dil: DilatedIndex, pts: jax.Array,
+                   mask: jax.Array, bits: int = 10) -> jax.Array:
+    """Index of a usable voxel for each point via the pre-dilated table:
+    one flat gather per point (−1 for misses; usable gating is baked into
+    the table at build time)."""
+    half = 1 << (bits - 1)
+    g = (jnp.floor((pts - grid.origin) / grid.voxel_size).astype(jnp.int32)
+         + half - dil.lo)                                     # (P, 3)
+    X, Y, Z = dil.table.shape
+    shape = jnp.asarray((X, Y, Z), jnp.int32)
+    inside = jnp.all((g >= 0) & (g < shape), axis=-1) & mask
+    cc = jnp.clip(g, 0, shape - 1)
+    flat = (cc[..., 0] * Y + cc[..., 1]) * Z + cc[..., 2]     # (P,)
+    idx = dil.table.reshape(-1)[flat]
+    return jnp.where(inside, idx, -1)
 
 
 # --- closed-form 3x3 symmetric eigen-analysis --------------------------------

@@ -87,17 +87,45 @@ def _subsample(frame_xyz, frame_mask, n_out: int):
 
     Valid-first ordering alone would take the first beams only (the frame
     layout is (beam, firing)) — a geometry-poor, ground-ring-heavy subset
-    that under-constrains registration.  A multiplicative-hash tiebreak
-    shuffles within the valid set so the sample covers all beams.
+    that under-constrains registration.  A STRATIFIED reorder fixes that
+    without a sort: view the firing axis as (G1, G2), transpose so G2
+    (whose G1 strata are evenly spaced around the revolution) comes first,
+    and take the first n_out valid points by cumsum compaction — every
+    beam and the whole azimuth range are covered.  Reshape/transpose +
+    cumsum + one flat scatter replace the per-frame argsort the TPU pays
+    ~100x more for.
     """
-    flat = frame_xyz.reshape(-1, 3)
+    L, Fm = frame_mask.shape
+    n = L * Fm
+    xyz = frame_xyz.reshape(-1, 3)
     m = frame_mask.reshape(-1)
-    n = m.shape[0]
-    h = (jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)) >> 9
-    key = jnp.where(m, h.astype(jnp.float32),
-                    jnp.float32(2**31))       # invalid sorts last
-    idx = jnp.argsort(key)[:n_out]
-    return flat[idx], m[idx]
+    # Select the n_out valid points with the SMALLEST multiplicative hash
+    # — the set the original argsort formulation picked — found sort-free
+    # with a 65536-bin histogram + cumsum (the per-frame argsort costs
+    # ~100x more on TPU).  The multiplicative (Fibonacci) hash is chosen
+    # deliberately: its k-smallest set is a LOW-DISCREPANCY quasi-lattice
+    # (points ~evenly spaced at an irrational stride), which both covers
+    # the frame uniformly (no Poisson clumps/gaps a full-avalanche hash
+    # would produce — measured 2-8x worse odometry rmse) and cannot
+    # phase-lock to the firing grid the way an integer-strided decimation
+    # does (dotted scan rings snapping dot-to-dot one pitch off).
+    h = ((jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761))
+         >> 16).astype(jnp.int32)                         # 16-bit hash
+    hist = jnp.zeros(65536, jnp.int32).at[
+        jnp.where(m, h, 0)].add(m.astype(jnp.int32))
+    cum = jnp.cumsum(hist)                                # (65536,)
+    # Smallest bin b with count(h < b+1) >= n_out; all valid if fewer.
+    b = jnp.searchsorted(cum, n_out, side="left").astype(jnp.int32)
+    below = jnp.where(b > 0, cum[jnp.maximum(b - 1, 0)], 0)
+    in_b = m & (h == b)
+    rank_b = jnp.cumsum(in_b.astype(jnp.int32)) - 1
+    pre = m & ((h < b) | (in_b & (rank_b < n_out - below)))
+    dest = jnp.cumsum(pre.astype(jnp.int32)) - 1
+    dest = jnp.where(pre & (dest < n_out), dest, n_out)
+    out = jnp.zeros((n_out, 3), frame_xyz.dtype).at[dest].set(
+        xyz, mode="drop")
+    msk = jnp.zeros(n_out, bool).at[dest].set(pre, mode="drop")
+    return out, msk
 
 
 def _handle_frame(st: OdometryState, k, fb_xyz, fb_mask, starts, n_done,
@@ -170,7 +198,8 @@ def assemble_step(carry: AssemblyCarry, pkts: jax.Array, calib: DeviceCalib,
                           track_v)
     fb, n_done, starts, carry2, open_start = assemble_frames(
         dec, xyz_w, pkt_rel_s, carry, carry_start_rel_s,
-        model=model, n_beams=n_beams, max_frames=max_frames_batch)
+        model=model, n_beams=n_beams, max_frames=max_frames_batch,
+        lean=True)
     return fb.xyz, fb.mask, n_done, starts, carry2, open_start
 
 
@@ -228,7 +257,8 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
                           track_v)
     fb, n_done, starts, carry, open_start = assemble_frames(
         dec, xyz_w, pkt_rel_s, state.carry, carry_start_rel_s,
-        model=model, n_beams=n_beams, max_frames=max_frames_batch)
+        model=model, n_beams=n_beams, max_frames=max_frames_batch,
+        lean=True)
     state = state._replace(carry=carry)
 
     # Unrolled over the (small, static) slot count: nesting the per-frame
@@ -277,7 +307,8 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
                           track_v)
     fb, n_done, starts, carry, open_start = assemble_frames(
         dec, xyz_w, pkt_rel_s, state.carry, carry_start_rel_s,
-        model=model, n_beams=n_beams, max_frames=max_frames_batch)
+        model=model, n_beams=n_beams, max_frames=max_frames_batch,
+        lean=True)
     state = state._replace(carry=carry)
     F = max_frames_batch
     slot_done = jnp.arange(F) < n_done                     # (F,)
@@ -301,7 +332,8 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
                                   min_planarity=min_planarity)
     # Optional O(1) correspondence index / fused Pallas normal equations —
     # the per-backend winners are measured by bench.py's A/B section.
-    dense = vx.build_dense_index(state.map_grid) if use_dense else None
+    dense = (vx.build_dilated_index(state.map_grid, target.usable)
+             if use_dense else None)
     res = gicp.register_batch(pts_local, msk, target, priors, dense,
                               iterations=reg_iterations,
                               use_pallas=use_pallas,

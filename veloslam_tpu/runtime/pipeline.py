@@ -919,6 +919,10 @@ class SlamPipeline:
             target = gicp.plane_grid_from(
                 roi, min_points=rc.min_points_per_voxel,
                 min_planarity=rc.min_planarity)
+            # Per-frame (host-orchestrated) path: exact nearest-mean
+            # correspondence — this is the reference-fidelity path, not the
+            # throughput path, so it keeps the O(1) index but NOT the
+            # dilated/center approximations the batched engine uses.
             dense = (vx.build_dense_index(roi)
                      if rc.use_dense_index else None)
             return gicp.register(
@@ -927,7 +931,8 @@ class SlamPipeline:
                 damping=rc.damping, huber_delta=rc.huber_delta,
                 max_dist=rc.max_correspondence_dist,
                 use_pallas=rc.use_pallas, dense=dense,
-                reassociate_every=rc.reassociate_every)
+                reassociate_every=rc.reassociate_every,
+                dense_approx_centers=False)
 
     def _integrate_scan(self, pts_world: np.ndarray, mask: np.ndarray,
                         center: np.ndarray, map_obj=None,
