@@ -146,7 +146,9 @@ class DistributedSlamSession(SlamPipeline):
                 self.mesh, g_pts, g_mask, target, T_prior,
                 iterations=rc.max_iterations, damping=rc.damping,
                 huber_delta=rc.huber_delta,
-                max_dist=rc.max_correspondence_dist)
+                max_dist=rc.max_correspondence_dist,
+                reassociate_every=rc.reassociate_every,
+                use_dense=rc.use_dense_index)
         return gicp.GicpResult(
             pose=se3.Pose(jnp.asarray(np.asarray(res.pose.q)),
                           jnp.asarray(np.asarray(res.pose.t))),
