@@ -86,7 +86,9 @@ def _admit_keyframes(kf: KeyframeRing, slots: odo.SlotResults,
     ring itself — each step is a handful of dynamic row writes, trivially
     cheap next to registration."""
     desc = sc.scan_context_batch(slots.pts_local, slots.msk)    # (F, R, S)
-    pts_k = slots.pts_local[:, :scan_points]    # hash-shuffled → uniform
+    # _subsample emits bit-reversed slots: any power-of-two prefix is a
+    # uniform strided subsample of the revolution (NOT azimuth-contiguous).
+    pts_k = slots.pts_local[:, :scan_points]
     msk_k = slots.msk[:, :scan_points]
     K = kf.capacity
 

@@ -87,13 +87,12 @@ def _subsample(frame_xyz, frame_mask, n_out: int):
 
     Valid-first ordering alone would take the first beams only (the frame
     layout is (beam, firing)) — a geometry-poor, ground-ring-heavy subset
-    that under-constrains registration.  A STRATIFIED reorder fixes that
-    without a sort: view the firing axis as (G1, G2), transpose so G2
-    (whose G1 strata are evenly spaced around the revolution) comes first,
-    and take the first n_out valid points by cumsum compaction — every
-    beam and the whole azimuth range are covered.  Reshape/transpose +
-    cumsum + one flat scatter replace the per-frame argsort the TPU pays
-    ~100x more for.
+    that under-constrains registration.  Instead the n_out valid points
+    with the smallest multiplicative hash are selected sort-free via a
+    65536-bin histogram + cumsum ranking, emitted in azimuth order, then
+    scattered through a bit-reversal permutation so any power-of-two
+    prefix of the output is again a uniform subsample (see inline
+    comments for why each piece exists).
     """
     L, Fm = frame_mask.shape
     n = L * Fm
@@ -122,6 +121,19 @@ def _subsample(frame_xyz, frame_mask, n_out: int):
     pre = m & ((h < b) | (in_b & (rank_b < n_out - below)))
     dest = jnp.cumsum(pre.astype(jnp.int32)) - 1
     dest = jnp.where(pre & (dest < n_out), dest, n_out)
+    # Bit-reverse the output slot so ANY power-of-two prefix of the result
+    # is itself a uniform (strided) subsample of the frame.  The cumsum
+    # compaction above emits points in ARRAY (azimuth) order; downstream
+    # consumers that slice a prefix (keyframe scans take the first
+    # scan_points rows, runtime/fullslam.py) would otherwise silently get
+    # the first half of the revolution only — the r3 landmark-accuracy
+    # regression was exactly that.
+    if n_out & (n_out - 1) == 0:
+        bits = n_out.bit_length() - 1
+        rev = jnp.zeros_like(dest)
+        for i in range(bits):
+            rev = rev | (((dest >> i) & 1) << (bits - 1 - i))
+        dest = jnp.where(dest < n_out, rev, n_out)
     out = jnp.zeros((n_out, 3), frame_xyz.dtype).at[dest].set(
         xyz, mode="drop")
     msk = jnp.zeros(n_out, bool).at[dest].set(pre, mode="drop")
