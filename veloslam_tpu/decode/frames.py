@@ -222,3 +222,212 @@ def frame_points(frame_xyz: jax.Array, frame_mask: jax.Array
                  ) -> Tuple[jax.Array, jax.Array]:
     """Flatten a frame's (L, MAX_F, 3)+mask into (L·MAX_F, 3)+mask."""
     return frame_xyz.reshape(-1, 3), frame_mask.reshape(-1)
+
+
+# --- gather-based frame sampling (the odometry fast path) --------------------
+#
+# assemble_frames scatters every decoded point into dense (slot, laser,
+# position) frame tensors — 4 channels x 6.3M writes per 16384-packet
+# batch, measured 450 ms on the v5e, with another 530 ms for the
+# histogram subsample that immediately throws 3/4 of the scattered points
+# away.  But decode output is already FRAME-CONTIGUOUS: firing blocks are
+# in time order, so a frame is a contiguous block range [start, end) of
+# the (N*12, 32) array.  The odometry path only needs `reg_points` points
+# per frame with masks — which is a strided GATHER of whole 32-laser
+# block rows from the decode output (plus the open-frame carry), no
+# scatters at all.  Row gathers of this size measure ~4 ms.
+
+class SampleCarry(NamedTuple):
+    """Open-frame compensated blocks carried between batches,
+    RIGHT-ALIGNED: occupied rows are [Fc - n_blocks, Fc)."""
+
+    xyz: jax.Array           # (Fc, 32, 3) float32, world frame
+    valid: jax.Array         # (Fc, 32) bool
+    laser: jax.Array         # (Fc, 32) int32 — output beam row (hash key)
+    n_blocks: jax.Array      # () int32
+    last_azimuth: jax.Array  # () int32
+
+    @staticmethod
+    def init(max_firings: int = C.MAX_FIRINGS_PER_FRAME) -> "SampleCarry":
+        F = max_firings
+        return SampleCarry(
+            xyz=jnp.zeros((F, C.HDL_LASERS_PER_FIRING, 3), jnp.float32),
+            valid=jnp.zeros((F, C.HDL_LASERS_PER_FIRING), bool),
+            laser=jnp.zeros((F, C.HDL_LASERS_PER_FIRING), jnp.int32),
+            n_blocks=jnp.asarray(0, jnp.int32),
+            last_azimuth=jnp.asarray(-1, jnp.int32))
+
+
+class SampledFrames(NamedTuple):
+    """Per-slot sampled points (leading axis = frame slot)."""
+
+    xyz: jax.Array      # (S, P, 3) float32 — world frame (compensated)
+    mask: jax.Array     # (S, P) bool
+
+
+def _bit_reverse(x: jax.Array, bits: int) -> jax.Array:
+    r = jnp.zeros_like(x)
+    for i in range(bits):
+        r = r | (((x >> i) & 1) << (bits - 1 - i))
+    return r
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "max_frames", "points_per_frame", "max_firings"))
+def sample_frames(decoded: DecodedBatch, xyz_world: jax.Array,
+                  pkt_rel_s: jax.Array, carry: SampleCarry,
+                  carry_start_rel_s: jax.Array, *, model: str,
+                  max_frames: int, points_per_frame: int,
+                  max_firings: int = C.MAX_FIRINGS_PER_FRAME
+                  ) -> Tuple[SampledFrames, jax.Array, jax.Array,
+                             SampleCarry, jax.Array]:
+    """Segment the batch into frames and select `points_per_frame` points
+    per completed frame — the odometry fast path.
+
+    Same contract as assemble_frames minus the dense frame tensors:
+    returns (frames: SampledFrames, n_completed, start_rel_s (S,),
+    new carry, open_start_rel_s).
+
+    Selection law: per frame, the valid points with the SMALLEST
+    multiplicative hash of their assembled flat index
+    (laser·max_firings + firing position) — the SAME low-discrepancy set
+    the histogram subsample picks from assembled frames
+    (runtime/odometry._subsample), found here with one (slot, hash) key
+    sort over the decode output + a rank gather, instead of the
+    scatter-assembled frame tensors + per-slot histograms (measured
+    450 + 530 ms of scatters → a ~40 ms sort + ~15 ms of gathers at
+    16384 packets).  The output is ordered by ascending hash, so any
+    prefix of the P axis is itself a uniform subsample (the keyframe /
+    map-integration contract).  Selection-law fidelity is load-bearing:
+    structured samplers (whole/partial firing blocks, coupled lattices)
+    leave vertical point strings or laser-pinned azimuth bands whose
+    voxel statistics break registration on observability-marginal scenes.
+
+    Known deviation: ties inside one 16-bit hash bin break by decode
+    order, not assembled-frame order (≈ tens of points per frame), and
+    HDL-64 firing positions use block-pair index parity rather than the
+    exact upper-block count, so its hash draw differs from the assembled
+    path's (same distribution).
+
+    Frames longer than `max_firings` firing positions contribute only
+    their first `max_firings` positions (matches assemble_frames
+    dropping positions ≥ MAX_F); the carry keeps the open frame's newest
+    `max_firings` blocks.
+    """
+    lasers = C.HDL_LASERS_PER_FIRING
+    N = decoded.xyz.shape[0]
+    B = N * C.HDL_FIRINGS_PER_PACKET
+    Fc, S = max_firings, max_frames
+    P = points_per_frame
+    ppb = 2 if model == "vlp16" else 1
+
+    breaks, last_az = frame_break_flags(decoded.az_ticks, carry.last_azimuth)
+    fid = jnp.cumsum(breaks.astype(jnp.int32))              # (B,)
+    n_frames = fid[-1] + 1
+    n_completed = jnp.minimum(n_frames - 1, S)
+    fid_c = jnp.minimum(fid, S + 1)
+
+    row = jnp.arange(B, dtype=jnp.int32) + Fc               # block units
+    seg_first = jax.ops.segment_min(row, fid_c, num_segments=S + 2,
+                                    indices_are_sorted=True)
+    seg_last = jax.ops.segment_max(row, fid_c, num_segments=S + 2,
+                                   indices_are_sorted=True)
+    # Frame 0 may extend back into the carry (and may even be carry-ONLY
+    # when the batch's first block opens a new frame — then the batch
+    # segment 0 is empty and seg_last must still cover the carry rows).
+    has_carry = carry.n_blocks > 0
+    first0 = Fc - jnp.minimum(carry.n_blocks, Fc)
+    seg_first = seg_first.at[0].set(
+        jnp.where(has_carry, first0, seg_first[0]))
+    seg_last = seg_last.at[0].set(
+        jnp.where(has_carry, jnp.maximum(seg_last[0], Fc - 1), seg_last[0]))
+
+    rel_block = pkt_rel_s.repeat(C.HDL_FIRINGS_PER_PACKET) + \
+        decoded.dt_s[:, :, 0].reshape(-1)                   # (B,)
+    seg_start = jax.ops.segment_min(rel_block, fid_c, num_segments=S + 2,
+                                    indices_are_sorted=True)
+    seg_start = seg_start.at[0].set(
+        jnp.where(has_carry, carry_start_rel_s, seg_start[0]))
+
+    # --- per-point hash keys over the CONCAT (carry ++ batch) order ----------
+    # Firing position within the frame, in block(-pair) units.
+    first_of = seg_first[jnp.minimum(fid_c, S + 1)]         # (B,)
+    blk_in_frame = row - first_of
+    if model == "hdl64":
+        pos_b = blk_in_frame // 2
+    else:
+        pos_b = blk_in_frame
+    pos_pt = (pos_b[:, None] * ppb
+              + decoded.subfiring.reshape(B, lasers))       # (B, 32)
+    # Beam rows go to 63 on HDL-64; the hash key only needs distinctness.
+    las_b = jnp.clip(decoded.laser_id.reshape(B, lasers), 0, 63)
+    ok_b = decoded.valid.reshape(B, lasers) & (pos_pt < Fc)
+
+    # Carry points: frame 0, position = row − first0 (block units).
+    crow = jnp.arange(Fc, dtype=jnp.int32)
+    cpos_b = crow - first0
+    if model == "hdl64":
+        cpos_b = cpos_b // 2
+    if model == "vlp16":
+        csub = (jnp.arange(lasers, dtype=jnp.int32) // 16)[None, :]
+    else:
+        csub = jnp.zeros((1, lasers), jnp.int32)
+    cpos_pt = cpos_b[:, None] * ppb + csub
+    ok_c = carry.valid & (cpos_pt >= 0) & (cpos_pt < Fc)
+
+    flat_c = carry.laser * Fc + jnp.clip(cpos_pt, 0, Fc - 1)
+    flat_b = las_b * Fc + jnp.clip(pos_pt, 0, Fc - 1)
+    slot_c = jnp.zeros((Fc, lasers), jnp.int32)
+    slot_b = jnp.broadcast_to(fid_c[:, None], (B, lasers))
+    flat = jnp.concatenate([flat_c.reshape(-1), flat_b.reshape(-1)])
+    slot = jnp.concatenate([slot_c.reshape(-1), slot_b.reshape(-1)])
+    ok = jnp.concatenate([ok_c.reshape(-1), ok_b.reshape(-1)])
+    # 16-bit hash, identical to _subsample's.
+    h = ((flat.astype(jnp.uint32) * jnp.uint32(2654435761)) >> 16
+         ).astype(jnp.int32)
+    # Sort key: (slot | hash); invalid points sort last (slot sentinel).
+    key = jnp.where(ok, (jnp.minimum(slot, S + 1) << 16) | h,
+                    jnp.int32((S + 2) << 16))
+    Ncat = (Fc + B) * lasers
+    src = jnp.arange(Ncat, dtype=jnp.int32)
+    skeys, order = jax.lax.sort((key, src), num_keys=1)     # stable
+
+    # Slot boundaries in the sorted key space.
+    slot_starts = jnp.searchsorted(
+        skeys, jnp.arange(S + 1, dtype=jnp.int32) << 16).astype(jnp.int32)
+    counts = slot_starts[1:] - slot_starts[:-1]             # (S,)
+    slot_done = jnp.arange(S) < n_completed
+    r = jnp.arange(P, dtype=jnp.int32)
+    take = slot_starts[:S, None] + r[None, :]               # (S, P)
+    sel_ok = (r[None, :] < jnp.minimum(counts[:, None], P)) \
+        & slot_done[:, None]
+    take = jnp.clip(take, 0, Ncat - 1)
+    pick = order[take]                                      # (S, P)
+
+    cat_xyz = jnp.concatenate(
+        [carry.xyz.reshape(Fc * lasers, 3),
+         xyz_world.reshape(B * lasers, 3)])
+    pts = cat_xyz[pick]                                     # (S, P, 3)
+    frames = SampledFrames(xyz=pts, mask=sel_ok)
+
+    # New carry: the open frame's BLOCKS, right-aligned into (Fc,) buffers.
+    open_id = jnp.minimum(n_frames - 1, S + 1)
+    open_first_blk = jax.lax.dynamic_index_in_dim(
+        seg_first, open_id, 0, keepdims=False)
+    open_first_blk = jnp.maximum(open_first_blk, B)   # newest Fc blocks only
+    cat_valid_blk = jnp.concatenate(
+        [carry.valid, decoded.valid.reshape(B, lasers)])
+    cat_laser_blk = jnp.concatenate(
+        [carry.laser, las_b.reshape(B, lasers)])
+    cat_xyz_blk = cat_xyz.reshape(Fc + B, lasers, 3)
+    tail_xyz = jax.lax.dynamic_slice_in_dim(cat_xyz_blk, B, Fc)
+    tail_valid = jax.lax.dynamic_slice_in_dim(cat_valid_blk, B, Fc)
+    tail_laser = jax.lax.dynamic_slice_in_dim(cat_laser_blk, B, Fc)
+    keep = (jnp.arange(Fc, dtype=jnp.int32) + B) >= open_first_blk
+    new_carry = SampleCarry(
+        xyz=tail_xyz, valid=tail_valid & keep[:, None], laser=tail_laser,
+        n_blocks=(Fc + B) - open_first_blk,
+        last_azimuth=last_az)
+    open_start = jax.lax.dynamic_index_in_dim(seg_start, open_id, 0,
+                                              keepdims=False)
+    return frames, n_completed, seg_start[:S], new_carry, open_start

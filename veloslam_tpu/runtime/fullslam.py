@@ -122,7 +122,8 @@ def _admit_keyframes(kf: KeyframeRing, slots: odo.SlotResults,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
     "min_points", "min_planarity", "scan_points", "kf_dist_m",
-    "kf_rot_rad", "use_pallas", "use_dense", "reassociate_every"))
+    "kf_rot_rad", "use_pallas", "use_dense", "reassociate_every",
+    "sample_assembly"))
 def slam_step_batched(state: SlamState, pkts: jax.Array,
                       calib: DeviceCalib, pkt_rel_s: jax.Array,
                       carry_start_rel_s: jax.Array,
@@ -135,7 +136,8 @@ def slam_step_batched(state: SlamState, pkts: jax.Array,
                       scan_points: int = 8192, kf_dist_m: float = 2.0,
                       kf_rot_rad: float = 0.1745,
                       use_pallas: bool = False, use_dense: bool = False,
-                      reassociate_every: int = 1
+                      reassociate_every: int = 1,
+                      sample_assembly: bool = False
                       ) -> Tuple[SlamState, jax.Array]:
     """One fused device program: batched odometry + keyframe admission."""
     odom, open_start, slots = odo._batched_core(
@@ -145,7 +147,8 @@ def slam_step_batched(state: SlamState, pkts: jax.Array,
         reg_iterations=reg_iterations, max_frames_batch=max_frames_batch,
         min_points=min_points, min_planarity=min_planarity,
         use_pallas=use_pallas, use_dense=use_dense,
-        reassociate_every=reassociate_every)
+        reassociate_every=reassociate_every,
+        sample_assembly=sample_assembly)
     kf = _admit_keyframes(state.kf, slots, batch_start_rel_stream_s,
                           scan_points=scan_points, kf_dist_m=kf_dist_m,
                           kf_rot_rad=kf_rot_rad)
@@ -209,7 +212,8 @@ class FullSlam(odo.StreamingOdometry):
             scan_points=self.kf_scan_points, kf_dist_m=self.kf_dist_m,
             kf_rot_rad=self.kf_rot_rad,
             use_pallas=self.use_pallas, use_dense=self.use_dense,
-            reassociate_every=self.reassociate_every)
+            reassociate_every=self.reassociate_every,
+            sample_assembly=self.sample_assembly)
         self.state, self.ring = st.odom, st.kf
         self._open_start_dev = open_start
         self._open_anchor = anchor

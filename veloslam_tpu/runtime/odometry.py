@@ -41,7 +41,8 @@ from veloslam_tpu.core import se3
 from veloslam_tpu.core.timeline import interpolate_poses
 from veloslam_tpu.decode.decode import (DeviceCalib, compensate,
                                         decode_packets)
-from veloslam_tpu.decode.frames import AssemblyCarry, assemble_frames
+from veloslam_tpu.decode.frames import (AssemblyCarry, SampleCarry,
+                                        assemble_frames, sample_frames)
 from veloslam_tpu.registration import gicp
 from veloslam_tpu.registration import voxel as vx
 
@@ -62,7 +63,8 @@ class OdometryState(NamedTuple):
 def init_state(n_beams: int, *, map_capacity: int = 32768,
                max_frames: int = 4096,
                max_firings: int = C.MAX_FIRINGS_PER_FRAME,
-               voxel_size: float = 1.0) -> OdometryState:
+               voxel_size: float = 1.0,
+               sample_assembly: bool = False) -> OdometryState:
     grid = vx.VoxelGrid(
         keys=jnp.full((map_capacity,), vx.INVALID_KEY, jnp.int32),
         count=jnp.zeros(map_capacity, jnp.float32),
@@ -71,7 +73,8 @@ def init_state(n_beams: int, *, map_capacity: int = 32768,
         origin=jnp.zeros(3, jnp.float32),
         voxel_size=jnp.asarray(voxel_size, jnp.float32))
     return OdometryState(
-        carry=AssemblyCarry.init(n_beams, max_firings),
+        carry=(SampleCarry.init(max_firings) if sample_assembly
+               else AssemblyCarry.init(n_beams, max_firings)),
         map_grid=grid,
         corr_q=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
         corr_t=jnp.zeros(3, jnp.float32),
@@ -309,29 +312,42 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
                   reg_iterations: int, max_frames_batch: int,
                   min_points: int, min_planarity: float,
                   use_pallas: bool = False, use_dense: bool = False,
-                  reassociate_every: int = 1
+                  reassociate_every: int = 1,
+                  sample_assembly: bool = False
                   ) -> Tuple[OdometryState, jax.Array, SlotResults]:
     """Shared body of the batched odometry step; also returns per-slot
     results so callers (runtime.fullslam) can select keyframes without a
-    second decode pass."""
+    second decode pass.
+
+    `sample_assembly` selects the gather-based fast path
+    (decode.frames.sample_frames): frames are contiguous firing-block
+    ranges of the decode output, so per-slot points come from one strided
+    row gather instead of the scatter-assembled dense frame tensors + the
+    histogram subsample — measured 450 + 530 ms → ~10 ms per
+    16384-packet batch on the v5e.  The state's carry type must match
+    (init_state(sample_assembly=...))."""
     dec = decode_packets(pkts, calib, model=model)
     xyz_w, _ = compensate(dec, pkt_rel_s, track_rel_s, track_q, track_t,
                           track_v)
-    fb, n_done, starts, carry, open_start = assemble_frames(
-        dec, xyz_w, pkt_rel_s, state.carry, carry_start_rel_s,
-        model=model, n_beams=n_beams, max_frames=max_frames_batch,
-        lean=True)
-    state = state._replace(carry=carry)
     F = max_frames_batch
+    if sample_assembly:
+        sf, n_done, starts, carry, open_start = sample_frames(
+            dec, xyz_w, pkt_rel_s, state.carry, carry_start_rel_s,
+            model=model, max_frames=F, points_per_frame=reg_points)
+        pts, msk = sf.xyz, sf.mask                         # (F,P,3), (F,P)
+    else:
+        fb, n_done, starts, carry, open_start = assemble_frames(
+            dec, xyz_w, pkt_rel_s, state.carry, carry_start_rel_s,
+            model=model, n_beams=n_beams, max_frames=F, lean=True)
+        # Subsample every slot (vmapped).
+        sub = jax.vmap(functools.partial(_subsample, n_out=reg_points))
+        pts, msk = sub(fb.xyz, fb.mask)
+    state = state._replace(carry=carry)
     slot_done = jnp.arange(F) < n_done                     # (F,)
+    msk &= slot_done[:, None]
 
     # Per-frame INS poses at frame starts (one batched interpolation).
     ins = interpolate_poses(track_rel_s, track_q, track_t, track_v, starts)
-
-    # Subsample every slot (vmapped), move to its local (frame-start) frame.
-    sub = jax.vmap(functools.partial(_subsample, n_out=reg_points))
-    pts, msk = sub(fb.xyz, fb.mask)                        # (F,P,3), (F,P)
-    msk &= slot_done[:, None]
     pts_local = jax.vmap(
         lambda q, t, p: se3.apply(se3.inverse(se3.Pose(q, t)), p))(
             ins.q, ins.t, pts)
@@ -407,7 +423,7 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
     "min_points", "min_planarity", "use_pallas", "use_dense",
-    "reassociate_every"))
+    "reassociate_every", "sample_assembly"))
 def odometry_step_batched(state: OdometryState, pkts: jax.Array,
                           calib: DeviceCalib, pkt_rel_s: jax.Array,
                           carry_start_rel_s: jax.Array,
@@ -419,7 +435,8 @@ def odometry_step_batched(state: OdometryState, pkts: jax.Array,
                           max_frames_batch: int = 4, min_points: int = 4,
                           min_planarity: float = 0.35,
                           use_pallas: bool = False, use_dense: bool = False,
-                          reassociate_every: int = 1
+                          reassociate_every: int = 1,
+                          sample_assembly: bool = False
                           ) -> Tuple[OdometryState, jax.Array]:
     """Throughput variant of `odometry_step`: ALL frame slots register in
     one vmapped GICP program against the batch-start map, then merge.
@@ -440,7 +457,8 @@ def odometry_step_batched(state: OdometryState, pkts: jax.Array,
         reg_iterations=reg_iterations, max_frames_batch=max_frames_batch,
         min_points=min_points, min_planarity=min_planarity,
         use_pallas=use_pallas, use_dense=use_dense,
-        reassociate_every=reassociate_every)
+        reassociate_every=reassociate_every,
+        sample_assembly=sample_assembly)
     return state, open_start
 
 
@@ -472,7 +490,8 @@ class StreamingOdometry:
                  map_capacity: int = 32768, max_frames: int = 4096,
                  fused: bool = True, batched: bool = False,
                  use_pallas: bool = False, use_dense: bool = False,
-                 reassociate_every: int = 1):
+                 reassociate_every: int = 1,
+                 sample_assembly: bool = None):
         self.calib = calib
         self.model = model
         self.n_beams = n_beams
@@ -483,9 +502,14 @@ class StreamingOdometry:
         self.use_pallas = use_pallas
         self.use_dense = use_dense
         self.reassociate_every = reassociate_every
+        # Gather-based assembly exists only for the batched path; default
+        # it ON there (None -> follow `batched`).
+        self.sample_assembly = (bool(batched) if sample_assembly is None
+                                else sample_assembly)
         self.state = init_state(n_beams, map_capacity=map_capacity,
                                 max_frames=max_frames,
-                                voxel_size=voxel_size)
+                                voxel_size=voxel_size,
+                                sample_assembly=self.sample_assembly)
         self._stream_t0_us: Optional[int] = None
         self._open_start_abs_us: Optional[float] = None
         # Per-slot index scalars uploaded once (chained path).
@@ -638,7 +662,8 @@ class StreamingOdometry:
                 reg_iterations=self.reg_iterations,
                 max_frames_batch=self.MAX_FRAMES_BATCH,
                 use_pallas=self.use_pallas, use_dense=self.use_dense,
-                reassociate_every=self.reassociate_every)
+                reassociate_every=self.reassociate_every,
+                sample_assembly=self.sample_assembly)
         elif self.fused:
             self.state, open_start = odometry_step(
                 self.state, jnp.asarray(pkts), self.calib, rel, carry_start,
