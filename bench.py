@@ -7,7 +7,7 @@ Two configs, named honestly:
    odometry_step_batched) as ONE jitted device program per 16384-packet
    batch (≈90.6 HDL-32 revolutions): decode → INS motion compensation →
    frame assembly → vmapped scan-to-map point-to-plane GICP (96 slots ×
-   32768 pts × 16 GN iters vs the rolling 32768-voxel map) → map merge
+   16384 pts × 16 GN iters vs the rolling 32768-voxel map) → map merge
    with decay + rebase check.  No keyframes/closures — pure odometry.
 
 2. `full_slam_frames_per_s` (in `extra`): END-TO-END
@@ -60,6 +60,7 @@ REG_POINTS = 16384
 REG_ITERATIONS = 16
 MAP_CAPACITY = 32768
 REASSOCIATE_EVERY = 8
+SAMPLE_ASSEMBLY = True
 
 # Single-CPU-core frames/s of the same bulk step, measured with:
 #   taskset -c 0 env XLA_FLAGS="--xla_cpu_multi_thread_eigen=false \
@@ -68,15 +69,16 @@ REASSOCIATE_EVERY = 8
 # on this container's host CPU (see BASELINE.md).  REFERENCE_CPU_CONFIG
 # pins the bulk config the number was measured under; main() nulls
 # vs_baseline if the live config no longer matches.
-REFERENCE_CPU_FPS = 79.841
+REFERENCE_CPU_FPS = 488.054
 REFERENCE_CPU_CONFIG = ("pkts16384-slots96-pts16384-iters16-map32768"
-                        "-dense-ra8")
+                        "-dense-ra8-sampled")
 
 
 def config_signature() -> str:
+    samp = "-sampled" if SAMPLE_ASSEMBLY else ""
     return (f"pkts{BATCH_PACKETS}-slots{MAX_FRAMES_BATCH}-pts{REG_POINTS}"
             f"-iters{REG_ITERATIONS}-map{MAP_CAPACITY}-dense"
-            f"-ra{REASSOCIATE_EVERY}")
+            f"-ra{REASSOCIATE_EVERY}{samp}")
 
 
 class Budget:
@@ -151,7 +153,7 @@ def _sync(out):
 def run_bulk(iters=4, warmup=1, batch_packets=BATCH_PACKETS,
              max_frames_batch=MAX_FRAMES_BATCH, use_pallas=False,
              use_dense=True, reassociate_every=REASSOCIATE_EVERY,
-             inputs=None):
+             sample_assembly=SAMPLE_ASSEMBLY, inputs=None):
     import jax.numpy as jnp
 
     from veloslam_tpu.runtime import odometry as odo
@@ -159,13 +161,15 @@ def run_bulk(iters=4, warmup=1, batch_packets=BATCH_PACKETS,
     frames_per_batch = batch_packets / HDL32_PACKETS_PER_SECOND * 10.0
     (pkts, calib, rel_s, track_rel, track_q, track_t,
      track_v) = inputs or _build_inputs(batch_packets=batch_packets)
-    state = odo.init_state(32, map_capacity=MAP_CAPACITY)
+    state = odo.init_state(32, map_capacity=MAP_CAPACITY,
+                           sample_assembly=sample_assembly)
     zero = jnp.asarray(0.0, jnp.float32)
     step = functools.partial(
         odo.odometry_step_batched, model="hdl32", n_beams=32,
         reg_points=REG_POINTS, reg_iterations=REG_ITERATIONS,
         max_frames_batch=max_frames_batch, use_pallas=use_pallas,
-        use_dense=use_dense, reassociate_every=reassociate_every)
+        use_dense=use_dense, reassociate_every=reassociate_every,
+        sample_assembly=sample_assembly)
 
     def once():
         # Fixed pre-built state: steady-state per-batch cost, no

@@ -25,16 +25,26 @@ import time
 import numpy as np
 
 
-def _timeit(fn, *args, iters=10):
+def _sync(out):
+    """Gate on EXECUTION, not dispatch: on the tunneled TPU backend
+    block_until_ready returns without waiting for remote execution, so
+    timed regions must close with a device->host transfer (same fix as
+    bench.py `_sync`; ADVICE r3)."""
     import jax
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "size")]
+    if not leaves:
+        return out
+    scalar = min(leaves, key=lambda a: a.size)
+    return jax.device_get(scalar)
+
+
+def _timeit(fn, *args, iters=10):
     out = fn(*args)
-    jax.tree.map(lambda l: l.block_until_ready()
-                 if hasattr(l, "block_until_ready") else l, out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree.map(lambda l: l.block_until_ready()
-                 if hasattr(l, "block_until_ready") else l, out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 

@@ -113,6 +113,11 @@ def assemble_frames(decoded: DecodedBatch, xyz_world: jax.Array,
     `lean=True` skips the intensity / rel_s / azimuth scatters (three of
     the five big scatter programs) and returns zeros in those FrameBatch
     fields — the odometry fast path consumes only xyz + mask.
+    A stream's lean flag is ALL-OR-NOTHING: a lean step zeroes those
+    fields in the carried open frame too, so mixing lean and non-lean
+    steps on the same carry would silently corrupt the boundary frame's
+    intensity/rel_s/azimuth (every carry-threaded caller is uniformly
+    lean or uniformly not).
     """
     lasers = C.HDL_LASERS_PER_FIRING
     N = decoded.xyz.shape[0]

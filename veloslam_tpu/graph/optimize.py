@@ -18,8 +18,8 @@ TPU-first solver design (BASELINE configs[3]):
     rows are regularized by damping, so one static-shape program serves
     any graph size up to capacity.
 
-The distributed variant shards edges/observations across devices and
-psum-reduces H and b — see veloslam_tpu.parallel.dist_graph.
+The distributed variant shards edges across devices and psum-reduces
+H and b — see veloslam_tpu.parallel.sharded.solve_graph_step_sharded.
 """
 
 from __future__ import annotations

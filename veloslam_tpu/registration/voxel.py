@@ -100,20 +100,26 @@ def build_grid(pts: jax.Array, mask: jax.Array, origin: jax.Array,
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1       # (P,) 0-based
     seg_id = jnp.where(valid, jnp.minimum(seg_id, capacity), capacity)
 
+    # ONE fused (P, 13) segment_sum for count + first + second moments:
+    # scatter cost scales with input size × channel count but wide rows
+    # lower far better than separate 1/3/9-channel scatters (measured on
+    # the v5e at 1.57M points: 162 ms as three calls, 67 ms fused).
     w = valid.astype(jnp.float32)
-    count = jax.ops.segment_sum(w, seg_id, num_segments=capacity + 1)
-    s1 = jax.ops.segment_sum(sp * w[:, None], seg_id,
-                             num_segments=capacity + 1)
-    outer = sp[:, :, None] * sp[:, None, :] * w[:, None, None]
-    s2 = jax.ops.segment_sum(outer, seg_id, num_segments=capacity + 1)
+    outer = sp[:, :, None] * sp[:, None, :]
+    payload = jnp.concatenate(
+        [w[:, None], sp * w[:, None],
+         outer.reshape(-1, 9) * w[:, None]], axis=1)         # (P, 13)
+    sums = jax.ops.segment_sum(payload, seg_id, num_segments=capacity + 1,
+                               indices_are_sorted=True)[:capacity]
     seg_keys = jax.ops.segment_min(jnp.where(valid, sk, INVALID_KEY), seg_id,
-                                   num_segments=capacity + 1)
+                                   num_segments=capacity + 1,
+                                   indices_are_sorted=True)
 
-    count = count[:capacity]
+    count = sums[:, 0]
     seg_keys = seg_keys[:capacity].astype(jnp.int32)
     denom = jnp.maximum(count, 1.0)[:, None]
-    mean_rel = s1[:capacity] / denom
-    cov = s2[:capacity] / denom[..., None] \
+    mean_rel = sums[:, 1:4] / denom
+    cov = sums[:, 4:13].reshape(-1, 3, 3) / denom[..., None] \
         - mean_rel[:, :, None] * mean_rel[:, None, :]
     mean = mean_rel + unpack_keys(seg_keys, origin, voxel_size, bits)
     return VoxelGrid(keys=seg_keys, count=count, mean=mean, cov=cov,
@@ -246,8 +252,10 @@ class DenseIndex(NamedTuple):
     `table[x, y, z]` holds the row index into the VoxelGrid arrays (or −1).
     Replaces the 7 binary searches of `lookup_nearest` with 7 direct
     gathers — the registration inner loop becomes O(1) per point.  Memory:
-    prod(shape)·4 B in HBM (16 MB at the default 256×256×64 box, ~±128 m
-    around the scan at 1 m voxels).
+    prod(shape)·4 B in HBM (8 MB at the default 256×256×32 box: ±128 m
+    xy, ±16 m z around the occupied-voxel median at 1 m voxels — the
+    build cost is proportional to the box, and the z span of a drive is
+    small; window truncation is observable via `window_coverage`).
     """
 
     table: jax.Array     # (X, Y, Z) int32
@@ -255,7 +263,7 @@ class DenseIndex(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "bits"))
-def build_dense_index(grid: VoxelGrid, *, shape=(256, 256, 64),
+def build_dense_index(grid: VoxelGrid, *, shape=(256, 256, 32),
                       bits: int = 10) -> DenseIndex:
     """Scatter the grid's occupied rows into a dense box centered on the
     occupied voxels' median coordinate."""
@@ -327,6 +335,29 @@ def lookup_nearest_dense(grid: VoxelGrid, dense: DenseIndex, pts: jax.Array,
     return jnp.where(jnp.any(ok7, axis=0), idx, -1)
 
 
+def window_coverage(grid: VoxelGrid, usable: jax.Array, lo: jax.Array,
+                    shape, bits: int = 10) -> jax.Array:
+    """Fraction of USABLE voxels that fall inside a dense-index window
+    [lo, lo+shape).  The dense/dilated tables silently drop voxels
+    outside their box (ADVICE r3: on long or hilly drives the scan can
+    outrun the box and registration quietly degrades to the INS prior) —
+    this makes that truncation observable.  Returns 1.0 for empty grids.
+    """
+    half = 1 << (bits - 1)
+    axis_mask = (1 << bits) - 1
+    keys = grid.keys
+    g = jnp.stack([(keys >> (2 * bits)) & axis_mask,
+                   (keys >> bits) & axis_mask,
+                   keys & axis_mask], -1)
+    rel = g - lo
+    want = grid.occupied & usable
+    inside = want & jnp.all((rel >= 0) & (rel < jnp.asarray(shape)), -1)
+    denom = jnp.maximum(want.sum(), 1)
+    return jnp.where(want.any(),
+                     inside.sum().astype(jnp.float32)
+                     / denom.astype(jnp.float32), 1.0)
+
+
 class DilatedIndex(NamedTuple):
     """Dense direct-mapped index whose cells are PRE-DILATED over the
     7-cell face neighborhood: `table[x, y, z]` holds the row of a usable
@@ -366,7 +397,7 @@ def _shift_fill(a: jax.Array, axis: int, d: int, fill) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("shape", "bits"))
 def build_dilated_index(grid: VoxelGrid, usable: jax.Array, *,
-                        shape=(256, 256, 64), bits: int = 10
+                        shape=(256, 256, 32), bits: int = 10
                         ) -> DilatedIndex:
     """Build a DilatedIndex for the USABLE voxels of `grid` (usable is the
     per-row gate from gicp.plane_grid_from)."""

@@ -58,6 +58,10 @@ class OdometryState(NamedTuple):
                                     # as f32 seconds rel. to stream start
     n_frames: jax.Array             # () int32
     have_map: jax.Array             # () bool — first frame bootstraps
+    # Running MIN of the dense-index window coverage (fraction of usable
+    # map voxels inside the box; 1.0 when use_dense is off) — surfaces
+    # silent window truncation on long/hilly drives (ADVICE r3).
+    min_dense_cov: jax.Array = None
 
 
 def init_state(n_beams: int, *, map_capacity: int = 32768,
@@ -82,7 +86,8 @@ def init_state(n_beams: int, *, map_capacity: int = 32768,
         traj_t=jnp.zeros((max_frames, 3), jnp.float32),
         traj_time=jnp.zeros(max_frames, jnp.float32),
         n_frames=jnp.asarray(0, jnp.int32),
-        have_map=jnp.asarray(False))
+        have_map=jnp.asarray(False),
+        min_dense_cov=jnp.asarray(1.0, jnp.float32))
 
 
 def _subsample(frame_xyz, frame_mask, n_out: int):
@@ -260,12 +265,11 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
     anchor; `batch_start_rel_stream_s` is the anchor expressed relative to
     the stream start (for the trajectory time column).
 
-    Measured on the axon v5e chip with a readback-free host driver: fused
-    and chained paths both run ~3.3 ms per 512-packet batch (≈850 frames/s
-    of full decode→register→map-update SLAM).  An earlier "fused anomaly"
-    (~300 ms/step) was the harness poisoning axon dispatch with device
-    readbacks during setup, not the program — see
-    se3.euler_deg_to_quat_np and bench.py notes.
+    NOTE on old timings: pre-r3 per-batch numbers quoted for this path
+    were dispatch-only mirages (block_until_ready does not gate on
+    remote execution on the tunneled backend); see bench.py `_sync` for
+    honest timing.  The throughput path is `odometry_step_batched` with
+    `sample_assembly=True`.
     """
     dec = decode_packets(pkts, calib, model=model)
     xyz_w, _ = compensate(dec, pkt_rel_s, track_rel_s, track_q, track_t,
@@ -360,8 +364,14 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
                                   min_planarity=min_planarity)
     # Optional O(1) correspondence index / fused Pallas normal equations —
     # the per-backend winners are measured by bench.py's A/B section.
-    dense = (vx.build_dilated_index(state.map_grid, target.usable)
-             if use_dense else None)
+    if use_dense:
+        dense = vx.build_dilated_index(state.map_grid, target.usable)
+        cov = vx.window_coverage(state.map_grid, target.usable, dense.lo,
+                                 dense.table.shape)
+        state = state._replace(
+            min_dense_cov=jnp.minimum(state.min_dense_cov, cov))
+    else:
+        dense = None
     res = gicp.register_batch(pts_local, msk, target, priors, dense,
                               iterations=reg_iterations,
                               use_pallas=use_pallas,
@@ -547,6 +557,7 @@ class StreamingOdometry:
         st = self.state
         n_frames = int(st.n_frames)          # single readback point
         return {
+            "dense_index_min_coverage": float(st.min_dense_cov),
             # float64 before the epoch shift: f32 + 1.7e15 µs would round
             # to ~134 s granularity
             "times_us": (np.asarray(st.traj_time[:n_frames],

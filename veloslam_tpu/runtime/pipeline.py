@@ -458,6 +458,15 @@ class SlamPipeline:
         t0 = eng._stream_t0_us or 0
         n_frames = int(host["n_frames"])
         n_kf = int(host["kf_n"])
+        self._dense_cov = float(np.asarray(eng.state.min_dense_cov))
+        if self._dense_cov < 0.999:
+            import warnings
+            warnings.warn(
+                f"dense correspondence window covered only "
+                f"{self._dense_cov:.1%} of usable map voxels at some "
+                f"point — scan may have outrun the index box "
+                f"(ADVICE r3); registration fell back to priors there",
+                RuntimeWarning)
         self._ring_full = bool(n_kf >= eng.ring.capacity)
         if self._ring_full:
             import warnings
@@ -920,9 +929,11 @@ class SlamPipeline:
                 roi, min_points=rc.min_points_per_voxel,
                 min_planarity=rc.min_planarity)
             # Per-frame (host-orchestrated) path: exact nearest-mean
-            # correspondence — this is the reference-fidelity path, not the
-            # throughput path, so it keeps the O(1) index but NOT the
+            # correspondence — it keeps the O(1) index but NOT the
             # dilated/center approximations the batched engine uses.
+            # It DOES inherit reassociate_every from the config (block
+            # re-association is itself an approximation vs per-iteration
+            # search; set reassociate_every=1 for classical ICP).
             dense = (vx.build_dense_index(roi)
                      if rc.use_dense_index else None)
             return gicp.register(
@@ -1362,6 +1373,7 @@ class SlamPipeline:
             "keyframe_times_us": np.asarray(self.keyframe_times, np.int64),
             "map_patches": self.map.n_patches,
             "ring_full": getattr(self, "_ring_full", False),
+            "dense_index_min_coverage": getattr(self, "_dense_cov", None),
             "timing": self.timers.summary(),
             "ins_health": dict(self.ins_health),
             "gps_health": dict(self.gps_health),
