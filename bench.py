@@ -64,12 +64,18 @@ SAMPLE_ASSEMBLY = True
 
 # Single-CPU-core frames/s of the same bulk step, measured with:
 #   taskset -c 0 env XLA_FLAGS="--xla_cpu_multi_thread_eigen=false \
-#     intra_op_parallelism_threads=1" JAX_PLATFORMS=cpu \
+#     intra_op_parallelism_threads=1" \
 #     python bench.py --cpu-reference
 # on this container's host CPU (see BASELINE.md).  REFERENCE_CPU_CONFIG
 # pins the bulk config the number was measured under; main() nulls
-# vs_baseline if the live config no longer matches.
-REFERENCE_CPU_FPS = 488.054
+# vs_baseline if the live config no longer matches.  NOTE: --cpu-reference
+# now force-resets the platform BEFORE any backend init — earlier rounds'
+# recorded "CPU" numbers (79.8 fps in r3) were actually the tunneled TPU
+# (the JAX_PLATFORMS env var is overridden by the session's sitecustomize
+# hook and the config.update ran too late), so r3's vs_baseline=0.93
+# compared the chip against itself.  The honest single-core number for
+# the current program is 17.7 fps (5.13 s/batch).
+REFERENCE_CPU_FPS = 17.657
 REFERENCE_CPU_CONFIG = ("pkts16384-slots96-pts16384-iters16-map32768"
                         "-dense-ra8-sampled")
 
@@ -264,14 +270,6 @@ def run_live(duration_s=5.0, rate=1.0):
 
 
 def main():
-    # Persistent XLA compilation cache: the batched full-SLAM path
-    # compiles dozens of programs; on the remote-compile backend a cold
-    # process pays tens of seconds each.  With the cache, any process
-    # after the first (test runs, driver bench runs) loads the compiled
-    # executables from disk instead.
-    from veloslam_tpu.utils import compilecache
-    compilecache.enable()
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-reference", action="store_true",
                     help="measure the single-core CPU reference number")
@@ -288,12 +286,31 @@ def main():
                          "stages are skipped once it is spent")
     args = ap.parse_args()
     if args.cpu_reference:
+        # MUST run before anything initializes a backend: the
+        # sitecustomize hook pins the tunneled TPU platform, and
+        # compilecache.enable() reads jax.default_backend().  Round 3's
+        # recorded "CPU" references (79.8 fps) were in fact the TPU —
+        # config.update ran after the backend was already up, so
+        # vs_baseline compared the chip against itself.
         import jax
         jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
+        assert jax.default_backend() == "cpu", jax.default_backend()
         fps, t_step = run_bulk(iters=3, warmup=1)
         print(f"# cpu reference: {fps:.3f} frames/s "
               f"({t_step*1e3:.1f} ms/batch)  config={config_signature()}")
         return 0
+
+    # Persistent XLA compilation cache: the batched full-SLAM path
+    # compiles dozens of programs; on the remote-compile backend a cold
+    # process pays tens of seconds each.  With the cache, any process
+    # after the first (test runs, driver bench runs) loads the compiled
+    # executables from disk instead.
+    from veloslam_tpu.utils import compilecache
+    compilecache.enable()
 
     inputs = _build_inputs()
     fps, t_step = run_bulk(inputs=inputs)

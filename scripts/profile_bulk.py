@@ -23,13 +23,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the sitecustomize hook "
+                         "overrides JAX_PLATFORMS, so the env var alone "
+                         "is not enough)")
     args = ap.parse_args()
-
-    from veloslam_tpu.utils import compilecache
-    compilecache.enable()
 
     t0 = time.perf_counter()
     import jax
+    if args.cpu:
+        # The sitecustomize hook pins the axon platform; force CPU BEFORE
+        # anything initializes a backend (compilecache.enable reads
+        # jax.default_backend), and reset any that slipped through.
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
+    else:
+        from veloslam_tpu.utils import compilecache
+        compilecache.enable()
     import jax.numpy as jnp
     jax.device_get(jnp.zeros(8))
     print(f"# backend up after {time.perf_counter()-t0:.1f}s "
@@ -46,7 +59,8 @@ def main():
 
     (pkts, calib, rel_s, track_rel, track_q, track_t,
      track_v) = bench._build_inputs()
-    state = odo.init_state(32, map_capacity=bench.MAP_CAPACITY)
+    state = odo.init_state(32, map_capacity=bench.MAP_CAPACITY,
+                           sample_assembly=bench.SAMPLE_ASSEMBLY)
     zero = jnp.asarray(0.0, jnp.float32)
     REG_P, ITERS, F = bench.REG_POINTS, bench.REG_ITERATIONS, 96
 
@@ -65,7 +79,7 @@ def main():
     step = functools.partial(
         odo.odometry_step_batched, model="hdl32", n_beams=32,
         reg_points=REG_P, reg_iterations=ITERS, max_frames_batch=F,
-        use_pallas=False, use_dense=True, reassociate_every=8)
+        use_pallas=False, use_dense=True, reassociate_every=8, sample_assembly=bench.SAMPLE_ASSEMBLY)
     state2, _ = step(state, pkts, calib, rel_s, zero, zero,
                      track_rel, track_q, track_t, track_v)
     _, t_full = timed("FULL odometry_step_batched", lambda: step(
@@ -82,26 +96,26 @@ def main():
     xyz_w, t_comp = timed("compensate", comp_j, dec, rel_s, track_rel,
                           track_q, track_t, track_v)
 
-    # --- stage 3: assemble --------------------------------------------------
-    asm_j = jax.jit(functools.partial(
-        assemble_frames, model="hdl32", n_beams=32, max_frames=F,
-        lean=True))
-    (fb, n_done, starts, carry2, open_start), t_asm = timed(
-        "assemble_frames", asm_j, dec, xyz_w, rel_s, state2.carry, zero)
+    # --- stage 3: sort-select sampling -------------------------------------
+    from veloslam_tpu.decode.frames import sample_frames
+    sel_j = jax.jit(functools.partial(
+        sample_frames, model="hdl32", max_frames=F, points_per_frame=REG_P))
+    (sf, n_done, starts, carry2, open_start), t_asm = timed(
+        "sample_frames (sort-select)", sel_j, dec, xyz_w, rel_s,
+        state2.carry, zero)
 
-    # --- stage 4: subsample + local frame ----------------------------------
-    def sub_fn(fxyz, fmask, st, tr, tq, tt, tv):
+    # --- stage 4: local frame transform -------------------------------------
+    def sub_fn(pts, st, tr, tq, tt, tv):
         ins = interpolate_poses(tr, tq, tt, tv, st)
-        sub = jax.vmap(functools.partial(odo._subsample, n_out=REG_P))
-        pts, msk = sub(fxyz, fmask)
         pts_local = jax.vmap(
             lambda q, t, p: se3.apply(se3.inverse(se3.Pose(q, t)), p))(
                 ins.q, ins.t, pts)
-        return pts_local, msk, ins.q, ins.t
+        return pts_local, ins.q, ins.t
     sub_j = jax.jit(sub_fn)
-    (pts_local, msk, ins_q, ins_t), t_sub = timed(
-        "subsample+local (96x)", sub_j, fb.xyz, fb.mask, starts,
+    (pts_local, ins_q, ins_t), t_sub = timed(
+        "to-local transform (96x)", sub_j, sf.xyz, starts,
         track_rel, track_q, track_t, track_v)
+    msk = sf.mask
 
     # --- stage 5: target build (plane grid + dilated index) -----------------
     def tgt_fn(grid):
