@@ -258,6 +258,15 @@ def test_keyframe_ring_saturation_and_autosize():
     eng.ensure_kf_capacity(
         int(n_pkts_120s / odo.packets_per_second("hdl32") * 12.0) + 8)
     assert eng.ring.capacity >= 1448     # 120 s * 12 frames/s
-    # and the growth cap is respected (dense solve bound)
-    eng.ensure_kf_capacity(1_000_000)
-    assert eng.ring.capacity == FullSlam.MAX_KF_CAPACITY
+    # growth continues PAST the old dense-solve bound of 2048 (the
+    # matrix-free PCG solver, graph/pcg.py, removes that ceiling) and a
+    # 5000-keyframe stream keeps every keyframe...
+    eng.ensure_kf_capacity(5000)
+    assert eng.ring.capacity >= 5000
+    long_ring = stream_slots(KeyframeRing.init(8192, 64), 5000)
+    assert int(long_ring.n) == 5000
+    # ...up to the HBM-bounded cap (~32 km of driving at 2 m spacing)
+    eng2 = FullSlam(DeviceCalib.from_host(calibration.hdl32()),
+                    kf_capacity=512)
+    eng2.ensure_kf_capacity(1_000_000)
+    assert eng2.ring.capacity == FullSlam.MAX_KF_CAPACITY == 16384

@@ -329,3 +329,82 @@ def test_verify_closure_aliasing_gates():
             np.testing.assert_allclose(np.asarray(good.t)[:2], [1.5, 1.0],
                                        atol=0.25)
         assert bad is None, f"seed {seed}: aliased far match accepted"
+
+
+def test_pcg_matches_dense_solver():
+    """The matrix-free PCG path must agree with the dense solver on a
+    drifted loop graph with a closure (same GN step, different linear
+    solver) — the correctness gate for breaking the 2048-keyframe dense
+    ceiling."""
+    from veloslam_tpu.graph import pcg
+    rng = np.random.default_rng(7)
+    g, true = _noisy_circle_graph(rng, n=48, drift=0.03, yaw_drift=0.01,
+                                  max_poses=64, max_edges=128)
+    rel_q, rel_t = relative_pose_measurement(true[47], true[0])
+    g.add_edge(47, 0, rel_q, rel_t, info=(1000.0,) * 6)
+    arrays = g.arrays()
+    dense, ds = optimize.solve(arrays, max_poses=g.K, iterations=6)
+    it, st = pcg.solve_pcg(arrays, max_poses=g.K, iterations=6,
+                           cg_iters=768)
+    # Same optimum: positions within mm, costs within 1%.
+    np.testing.assert_allclose(np.asarray(it.t)[:48],
+                               np.asarray(dense.t)[:48], atol=5e-3)
+    assert float(st.final_cost) < 1.01 * float(ds.final_cost) + 1e-6
+
+
+def test_pcg_scales_past_dense_ceiling():
+    """A 10k-pose drifted chain with periodic loop closures solves
+    matrix-free (the dense solver cannot even allocate (60k)^2).  The
+    closures pin revisits to the truth ring, so the solve must pull the
+    drifted chain substantially back."""
+    from veloslam_tpu.graph import pcg
+    rng = np.random.default_rng(3)
+    n, lap = 10000, 500            # 20 laps of a 500-pose circle
+    radius = 80.0
+    step = 2 * np.pi / lap
+    g = PoseGraph(max_poses=10240, max_edges=2 * 10240)
+    true_t = []
+    est = se3.Pose(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                   jnp.zeros(3, jnp.float32))
+    g.add_pose(np.asarray(est.q), np.asarray(est.t))
+    true_prev = se3.Pose(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                         jnp.zeros(3, jnp.float32))
+    true_t.append(np.zeros(3))
+    for k in range(1, n):
+        ang = (k % lap) * step
+        tt = np.array([radius * np.sin(ang), radius * (1 - np.cos(ang)),
+                       0.0], np.float32)
+        tq = np.asarray(se3.quat_exp(jnp.asarray([0.0, 0.0, ang])),
+                        np.float32)
+        true_cur = se3.Pose(jnp.asarray(tq), jnp.asarray(tt))
+        rel_q, rel_t = relative_pose_measurement(true_prev, true_cur)
+        noisy_t = rel_t + rng.normal(0, 0.01, 3).astype(np.float32)
+        est = se3.compose(est, se3.Pose(jnp.asarray(rel_q),
+                                        jnp.asarray(noisy_t)))
+        g.add_pose(np.asarray(est.q), np.asarray(est.t))
+        g.add_edge(k - 1, k, rel_q, noisy_t, info=(100.0,) * 6)
+        # a closure to the matching pose of the first lap, every 100
+        if k >= lap and k % 100 == 0:
+            j = k % lap
+            rq, rt = relative_pose_measurement(true_cur, true_cur)
+            g.add_edge(k, j, rq, rt, info=(1000.0,) * 6)
+        true_prev = true_cur
+        true_t.append(tt.copy())
+    arrays = g.arrays()
+    before = np.sqrt(np.mean(np.sum(
+        (g.t[:n] - np.asarray(true_t)) ** 2, axis=1)))
+    out, stats = pcg.solve_pcg(arrays, max_poses=g.K, iterations=4,
+                               cg_iters=64)
+    after = np.sqrt(np.mean(np.sum(
+        (np.asarray(out.t)[:n] - np.asarray(true_t)) ** 2, axis=1)))
+    assert np.isfinite(float(stats.final_cost))
+    # Converged to the measurement-noise floor: E[chi2] ~ 3·n·sigma²·info
+    # = 300 for this graph (the pose-0 gauge does not pin the ring to
+    # ABSOLUTE truth, so ATE-vs-truth is the wrong optimality test).
+    assert float(stats.final_cost) < 2.0 * 300.0, float(stats.final_cost)
+    assert after < before, (before, after)
+    # Closure consistency: revisit pairs coincide after the solve.
+    t_out = np.asarray(out.t)
+    pair_d = [np.linalg.norm(t_out[k] - t_out[k % lap])
+              for k in range(lap, n, 100)]
+    assert np.max(pair_d) < 0.15, np.max(pair_d)

@@ -166,7 +166,11 @@ class GraphConfig:
     use_landmarks: bool = True
     landmark_cluster_radius_m: float = 1.2
     landmark_min_observations: int = 2
-    landmark_obs_info: float = 25.0
+    # Observation information 1/sigma²: post-center detections from
+    # subsampled scans measure ~0.35 m rms (bench loop drive), so info 8
+    # — the old 25 (sigma 0.2 m) over-trusted them enough to fight
+    # accurate loop closures.
+    landmark_obs_info: float = 8.0
 
 
 @dataclasses.dataclass(frozen=True)

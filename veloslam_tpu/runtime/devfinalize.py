@@ -276,7 +276,8 @@ def solve_and_correct(kf_q: jax.Array, kf_t: jax.Array,
         o_z=jnp.zeros((1, 3), jnp.float32),
         o_info=jnp.zeros((1, 3), jnp.float32),
         o_valid=jnp.zeros(1, bool))
-    out, stats = optimize.solve(g, max_poses=K, iterations=gn_iterations)
+    from veloslam_tpu.graph import pcg
+    out, stats = pcg.solve_auto(g, max_poses=K, iterations=gn_iterations)
     # Failure detection: a numerically failed solve (overflowed fp32
     # normal equations on a degenerate input) must degrade to "no
     # correction", not propagate NaN into the trajectory and the map.

@@ -223,13 +223,18 @@ class FullSlam(odo.StreamingOdometry):
         dispatched program for all-pairs place recognition."""
         return sc.descriptor_scores(self.ring.desc)
 
-    MAX_KF_CAPACITY = 2048   # dense-solve bound (6K×6K normal matrix)
+    # Keyframe ceiling: the dense pose-graph solve bounds K at 2048
+    # ((6K)² normal matrix), but beyond that the matrix-free PCG solver
+    # (graph/pcg.py) takes over, so the ring is HBM-bounded: 16384
+    # keyframes ≈ 32 km of driving at the 2 m keyframe spacing — the
+    # reference's "drive as long as the disk lasts" contract
+    # (HDLManager.cxx:321-425).
+    MAX_KF_CAPACITY = 16384
 
     def ensure_kf_capacity(self, n: int) -> None:
         """Grow the device keyframe ring to hold ≥ n keyframes (padded to
         a power-of-two bucket so nearby recording lengths share compiled
-        programs; capped at MAX_KF_CAPACITY — the dense pose-graph solve
-        scales as (6K)², see graph/optimize).  Beyond the cap the ring
+        programs; capped at MAX_KF_CAPACITY).  Beyond the cap the ring
         saturates and `ring_full` is reported in the results."""
         cur = self.ring.capacity
         if n <= cur:

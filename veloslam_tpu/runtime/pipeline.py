@@ -1155,9 +1155,10 @@ class SlamPipeline:
                 accepted += 1
         if accepted:
             with self.timers.stage("graph_solve"):
-                out, _ = optimize.solve(self.graph.arrays(),
-                                        max_poses=self.graph.K,
-                                        iterations=self.cfg.graph.gn_iterations)
+                from veloslam_tpu.graph import pcg
+                out, _ = pcg.solve_auto(
+                    self.graph.arrays(), max_poses=self.graph.K,
+                    iterations=self.cfg.graph.gn_iterations)
             self.graph.update_from(np.asarray(out.q)[:self.graph.n_poses],
                                    np.asarray(out.t)[:self.graph.n_poses])
             with self.timers.stage("map_downdate"):
@@ -1324,7 +1325,8 @@ class SlamPipeline:
                         np.asarray(out.t)[:self.graph.n_poses],
                         np.asarray(out.l_pos)[:self.graph.n_landmarks])
                 else:
-                    out, _ = optimize.solve(
+                    from veloslam_tpu.graph import pcg
+                    out, _ = pcg.solve_auto(
                         self.graph.arrays(), max_poses=self.graph.K,
                         iterations=self.cfg.graph.gn_iterations)
                     self.graph.update_from(
