@@ -2,11 +2,15 @@
 
 Usage: python scripts/profile_fullslam.py [duration_s]
 """
+import os
 import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def main():

@@ -145,3 +145,45 @@ def test_compiled_programs_are_cached(mesh8):
     # different statics miss
     assert sharded._register_program(mesh8, 8, 1e-6, 0.5, 2.0, 8, True) \
         is not sharded._register_program(mesh8, 16, 1e-6, 0.5, 2.0, 8, True)
+
+
+def test_sharded_graph_solve_matches_host(mesh8):
+    """Full distributed Gauss-Newton (edges + landmark observations
+    sharded, Schur over psum) must match the host solvers — the
+    production session's _solve_graph path (BASELINE configs[3])."""
+    rng = np.random.default_rng(11)
+    g, true = _noisy_circle_graph(rng, n=24, drift=0.04, yaw_drift=0.01,
+                                  max_poses=32, max_edges=64)
+    from veloslam_tpu.graph.posegraph import relative_pose_measurement
+    rel_q, rel_t = relative_pose_measurement(true[23], true[0])
+    g.add_edge(23, 0, rel_q, rel_t, info=(1000.0,) * 6)
+    # a few landmarks observed from several poses
+    for lx, ly in ((5.0, 8.0), (30.0, 20.0), (15.0, 35.0)):
+        li = g.add_landmark(np.array([lx, ly, 1.0], np.float32))
+        for k in range(0, 24, 3):
+            z = se3.apply(se3.inverse(true[k]),
+                          jnp.asarray([lx, ly, 1.0], jnp.float32))
+            g.add_observation(k, li, np.asarray(z), info=8.0)
+    arrays = g.arrays()
+
+    from veloslam_tpu.graph import optimize
+    host, _ = optimize.solve_with_landmarks(
+        arrays, max_poses=g.K, max_landmarks=g.M, iterations=6)
+    from jax.sharding import NamedSharding
+    dev = jax.tree.map(
+        lambda a, sp: jax.device_put(np.asarray(a),
+                                     NamedSharding(mesh8, sp)),
+        arrays, sharded._graph_specs())
+    dist, _ = sharded.solve_graph_sharded(
+        mesh8, dev, max_poses=g.K, max_landmarks=g.M, iterations=6,
+        with_landmarks=True)
+    np.testing.assert_allclose(np.asarray(dist.t), np.asarray(host.t),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dist.l_pos),
+                               np.asarray(host.l_pos), atol=1e-3)
+    # pose-only variant too
+    host2, _ = optimize.solve(arrays, max_poses=g.K, iterations=6)
+    dist2, _ = sharded.solve_graph_sharded(
+        mesh8, dev, max_poses=g.K, iterations=6)
+    np.testing.assert_allclose(np.asarray(dist2.t), np.asarray(host2.t),
+                               atol=1e-3)

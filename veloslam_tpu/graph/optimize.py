@@ -128,7 +128,50 @@ def _assemble_landmark_terms(g: GraphArrays, max_poses: int,
     b_l = jax.ops.segment_sum(jnp.einsum("ori,or->oi", Jlw, r), g.o_l,
                               num_segments=M)
     Apl = jnp.einsum("ori,orj->oij", Jpw, Jl)                 # (O, 6, 3)
-    return H_pp, b_p, All, b_l, Apl, rows_p, cost
+    # Per-landmark pose-coupling tensor T_l = Σ_o [rows_o ⊗ Apl_o]
+    # (M, 3, 6K): built here so distributed callers can psum per-shard
+    # partials — every returned term is a SUM over observations.
+    T = jnp.zeros((M, 3, 6 * K), Apl.dtype)
+    T = T.at[g.o_l[:, None, None],
+             jnp.arange(3)[None, :, None],
+             rows_p[:, None, :]].add(jnp.swapaxes(Apl, 1, 2))
+    return H_pp, b_p, All, b_l, T, cost
+
+
+def _schur_step(g_cur: GraphArrays, H_ee, b_ee, H_po, b_po, All, b_l, T,
+                max_poses: int, max_landmarks: int, damping: float,
+                prior_weight: float):
+    """One replicated Gauss-Newton step from assembled (possibly
+    psum-reduced) terms: Schur-eliminate landmarks, solve poses, back-
+    substitute.  Returns the updated GraphArrays."""
+    K, M = max_poses, max_landmarks
+    App = H_ee + H_po
+    diag = jnp.arange(6 * K)
+    App = App.at[diag, diag].add(damping)
+    App = App.at[jnp.arange(6), jnp.arange(6)].add(prior_weight)
+    b_p = b_ee + b_po
+
+    land_mask = jnp.arange(M) < g_cur.n_landmarks
+    All = All + (damping + 1e-3) * jnp.eye(3)[None]
+    All_inv = jnp.linalg.inv(All)                          # batched 3x3
+    All_inv = jnp.where(land_mask[:, None, None], All_inv, 0.0)
+
+    U = jnp.einsum("lab,lbk->lak", All_inv, T)             # (M, 3, 6K)
+    S = App - jnp.einsum("lak,lam->km", T, U)
+    b_red = b_p - jnp.einsum("lak,la->k", T,
+                             jnp.einsum("lab,lb->la", All_inv, b_l))
+
+    delta_p = -jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S), b_red)
+    Alp_dp = jnp.einsum("lak,k->la", T, delta_p)
+    delta_l = -jnp.einsum("lab,lb->la", All_inv, b_l + Alp_dp)
+
+    delta_p = delta_p.reshape(K, 6)
+    pose_mask = (jnp.arange(K) < g_cur.n_poses)[:, None]
+    delta_p = jnp.where(pose_mask, delta_p, 0.0)
+    delta_l = jnp.where(land_mask[:, None], delta_l, 0.0)
+    new = se3.retract(se3.Pose(g_cur.q, g_cur.t), delta_p)
+    return g_cur._replace(q=new.q, t=new.t, l_pos=g_cur.l_pos + delta_l)
 
 
 @functools.partial(jax.jit, static_argnames=("max_poses", "iterations",
@@ -174,54 +217,11 @@ def solve_with_landmarks(g: GraphArrays, *, max_poses: int,
     def body(it, state):
         g_cur, costs = state
         H_ee, b_ee, cost_e = _assemble_pose_system(g_cur, K)
-        H_po, b_po, All, b_l, Apl, rows_p, cost_o = \
+        H_po, b_po, All, b_l, T, cost_o = \
             _assemble_landmark_terms(g_cur, K, M)
         cost = cost_e + cost_o
-
-        App = H_ee + H_po
-        diag = jnp.arange(6 * K)
-        App = App.at[diag, diag].add(damping)
-        App = App.at[jnp.arange(6), jnp.arange(6)].add(prior_weight)
-        b_p = b_ee + b_po
-
-        # Schur: eliminate landmarks.  All is block-diagonal (M, 3, 3).
-        land_mask = jnp.arange(M) < g_cur.n_landmarks
-        All = All + (damping + 1e-3) * jnp.eye(3)[None]
-        All_inv = jnp.linalg.inv(All)                          # batched 3x3
-        All_inv = jnp.where(land_mask[:, None, None], All_inv, 0.0)
-
-        # S = App − Σ_obs,obs' Apl_o All⁻¹ Aplᵀ_o' grouped per landmark.
-        # Compute per-observation Y_o = Apl_o · All_inv[l_o]  (O, 6, 3),
-        # then scatter Y_o · Apl_o'ᵀ for every obs pair sharing a landmark.
-        Y = jnp.einsum("oij,ojk->oik", Apl, All_inv[g.o_l])    # (O, 6, 3)
-        # Per-landmark sums of Apl (rows grouped by pose) can't be formed
-        # blockwise without pose-pair pairing; instead accumulate
-        # T_l = Σ_o [rows_o ⊗ Apl_o] into a (M, 3, 6K) tensor — memory
-        # M·18K.  For SLAM-scale M, K this is fine; the distributed path
-        # shards it.
-        T = jnp.zeros((M, 3, 6 * K), Apl.dtype)
-        T = T.at[g.o_l[:, None, None],
-                 jnp.arange(3)[None, :, None],
-                 rows_p[:, None, :]].add(jnp.swapaxes(Apl, 1, 2))
-        # S -= Σ_l (T_lᵀ All_inv_l T_l): compute U_l = All_inv_l · T_l
-        U = jnp.einsum("lab,lbk->lak", All_inv, T)             # (M, 3, 6K)
-        S = App - jnp.einsum("lak,lam->km", T, U)
-        b_red = b_p - jnp.einsum("lak,la->k", T,
-                                 jnp.einsum("lab,lb->la", All_inv, b_l))
-
-        delta_p = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(S), b_red)
-        # Back-substitute landmarks: δl = −All⁻¹ (b_l + Alp δp).
-        Alp_dp = jnp.einsum("lak,k->la", T, delta_p)
-        delta_l = -jnp.einsum("lab,lb->la", All_inv, b_l + Alp_dp)
-
-        delta_p = delta_p.reshape(K, 6)
-        pose_mask = (jnp.arange(K) < g_cur.n_poses)[:, None]
-        delta_p = jnp.where(pose_mask, delta_p, 0.0)
-        delta_l = jnp.where(land_mask[:, None], delta_l, 0.0)
-        new = se3.retract(se3.Pose(g_cur.q, g_cur.t), delta_p)
-        g_new = g_cur._replace(q=new.q, t=new.t,
-                               l_pos=g_cur.l_pos + delta_l)
+        g_new = _schur_step(g_cur, H_ee, b_ee, H_po, b_po, All, b_l, T,
+                            K, M, damping, prior_weight)
         return g_new, (jnp.where(it == 0, cost, costs[0]), cost)
 
     g_out, (c0, c1) = jax.lax.fori_loop(

@@ -155,6 +155,36 @@ class DistributedSlamSession(SlamPipeline):
             n_matched=res.n_matched, mean_error=res.mean_error,
             iterations=res.iterations)
 
+    # --- distributed pose-graph solve ------------------------------------------
+
+    def _graph_device_arrays(self, arrays):
+        """GraphArrays → device with edges/observations sharded over the
+        "map" axis, pose/landmark state replicated."""
+        from jax.sharding import NamedSharding
+        import jax
+        specs = sharded._graph_specs()
+        return jax.tree.map(
+            lambda a, sp: jax.device_put(
+                np.asarray(a), NamedSharding(self.mesh, sp)),
+            arrays, specs)
+
+    def _solve_graph(self, arrays):
+        """Distributed Gauss-Newton over the mesh: per-shard assembly,
+        psum'd normal equations, replicated solve (BASELINE configs[3] —
+        the production session path, not just a kernel demo)."""
+        out, _ = sharded.solve_graph_sharded(
+            self.mesh, self._graph_device_arrays(arrays),
+            max_poses=self.graph.K,
+            iterations=self.cfg.graph.gn_iterations)
+        return out
+
+    def _solve_graph_landmarks(self, arrays):
+        out, _ = sharded.solve_graph_sharded(
+            self.mesh, self._graph_device_arrays(arrays),
+            max_poses=self.graph.K, max_landmarks=self.graph.M,
+            iterations=self.cfg.graph.gn_iterations, with_landmarks=True)
+        return out
+
     # --- diagnostics -----------------------------------------------------------
 
     def owned_tiles(self):

@@ -236,3 +236,83 @@ def solve_graph_step_sharded(mesh: Mesh, g: GraphArrays, *, max_poses: int,
     """One distributed Gauss-Newton step: edges sharded over "map", dense
     normal equations psum-reduced, replicated solve, retract."""
     return _graph_step_program(mesh, max_poses, damping, prior_weight)(g)
+
+
+# --- full distributed Gauss-Newton solve (BASELINE configs[3]) --------------
+
+def _graph_specs(axis: str = "map") -> GraphArrays:
+    """PartitionSpecs: poses/landmark state replicated, edges AND landmark
+    observations sharded over `axis`."""
+    return GraphArrays(
+        q=P(), t=P(), n_poses=P(),
+        e_i=P(axis), e_j=P(axis), e_q=P(axis), e_t=P(axis),
+        e_info=P(axis), e_valid=P(axis),
+        l_pos=P(), n_landmarks=P(),
+        o_i=P(axis), o_l=P(axis), o_z=P(axis),
+        o_info=P(axis), o_valid=P(axis))
+
+
+@functools.lru_cache(maxsize=64)
+def _graph_solve_program(mesh: Mesh, max_poses: int, max_landmarks: int,
+                         iterations: int, damping: float,
+                         prior_weight: float, with_landmarks: bool):
+    """Full distributed Gauss-Newton: per iteration, every device
+    assembles its edge/observation shard's normal-equation terms
+    (including the per-landmark Schur coupling tensor T), ONE psum
+    reduces them, and the small replicated solve + retraction runs
+    identically everywhere — "distributed Gauss-Newton with Schur
+    complement over collectives" literally (BASELINE configs[3])."""
+    from veloslam_tpu.graph.optimize import (_assemble_landmark_terms,
+                                             _schur_step)
+    K, M = max_poses, max_landmarks
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(_graph_specs(),),
+                       out_specs=P(), check_vma=False)
+    def assemble(g_shard: GraphArrays):
+        H, b, cost = _assemble_pose_system(g_shard, K)
+        pieces = [H, b, cost]
+        if with_landmarks:
+            pieces.extend(_assemble_landmark_terms(g_shard, K, M))
+        return tuple(jax.lax.psum(x, "map") for x in pieces)
+
+    def step(g_in: GraphArrays):
+        out = assemble(g_in)
+        if with_landmarks:
+            H, b, cost_e, H_po, b_po, All, b_l, T, cost_o = out
+            g_new = _schur_step(g_in, H, b, H_po, b_po, All, b_l, T,
+                                K, M, damping, prior_weight)
+            return g_new, cost_e + cost_o
+        H, b, cost = out
+        diag = jnp.arange(6 * K)
+        H = H.at[diag, diag].add(damping)
+        H = H.at[jnp.arange(6), jnp.arange(6)].add(prior_weight)
+        delta = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H), b)
+        delta = delta.reshape(K, 6)
+        mask = (jnp.arange(K) < g_in.n_poses)[:, None]
+        new = se3.retract(se3.Pose(g_in.q, g_in.t),
+                          jnp.where(mask, delta, 0.0))
+        return g_in._replace(q=new.q, t=new.t), cost
+
+    def run(g: GraphArrays):
+        def body(_, state):
+            g_cur, _ = state
+            return step(g_cur)
+        return jax.lax.fori_loop(
+            0, iterations, body, (g, jnp.asarray(jnp.inf, jnp.float32)))
+
+    return jax.jit(run)
+
+
+def solve_graph_sharded(mesh: Mesh, g: GraphArrays, *, max_poses: int,
+                        max_landmarks: int = 1, iterations: int = 8,
+                        damping: float = 1e-4, prior_weight: float = 1e6,
+                        with_landmarks: bool = False):
+    """Distributed Gauss-Newton solve of a pose graph (optionally with
+    Schur-eliminated landmarks): edges and observations sharded over the
+    "map" axis, assembly psum-reduced once per iteration, replicated
+    solve.  Same contract as graph.optimize.solve /
+    solve_with_landmarks."""
+    run = _graph_solve_program(mesh, max_poses, max_landmarks, iterations,
+                               damping, prior_weight, with_landmarks)
+    return run(g)

@@ -945,6 +945,21 @@ class SlamPipeline:
                 reassociate_every=rc.reassociate_every,
                 dense_approx_centers=False)
 
+    def _solve_graph(self, arrays):
+        """Pose-graph solve primitive (overridden by the distributed
+        session to run the edge-sharded psum solver over the mesh)."""
+        from veloslam_tpu.graph import pcg
+        out, _ = pcg.solve_auto(arrays, max_poses=self.graph.K,
+                                iterations=self.cfg.graph.gn_iterations)
+        return out
+
+    def _solve_graph_landmarks(self, arrays):
+        """Landmark-aided solve primitive (sharded in the session)."""
+        out, _ = optimize.solve_with_landmarks(
+            arrays, max_poses=self.graph.K, max_landmarks=self.graph.M,
+            iterations=self.cfg.graph.gn_iterations)
+        return out
+
     def _integrate_scan(self, pts_world: np.ndarray, mask: np.ndarray,
                         center: np.ndarray, map_obj=None,
                         sign: float = 1.0) -> None:
@@ -1155,10 +1170,7 @@ class SlamPipeline:
                 accepted += 1
         if accepted:
             with self.timers.stage("graph_solve"):
-                from veloslam_tpu.graph import pcg
-                out, _ = pcg.solve_auto(
-                    self.graph.arrays(), max_poses=self.graph.K,
-                    iterations=self.cfg.graph.gn_iterations)
+                out = self._solve_graph(self.graph.arrays())
             self.graph.update_from(np.asarray(out.q)[:self.graph.n_poses],
                                    np.asarray(out.t)[:self.graph.n_poses])
             with self.timers.stage("map_downdate"):
@@ -1316,19 +1328,13 @@ class SlamPipeline:
         if has_closures or self.graph.n_obs > 0:
             with self.timers.stage("graph_solve"):
                 if self.graph.n_obs > 0:
-                    out, _ = optimize.solve_with_landmarks(
-                        self.graph.arrays(), max_poses=self.graph.K,
-                        max_landmarks=self.graph.M,
-                        iterations=self.cfg.graph.gn_iterations)
+                    out = self._solve_graph_landmarks(self.graph.arrays())
                     self.graph.update_from(
                         np.asarray(out.q)[:self.graph.n_poses],
                         np.asarray(out.t)[:self.graph.n_poses],
                         np.asarray(out.l_pos)[:self.graph.n_landmarks])
                 else:
-                    from veloslam_tpu.graph import pcg
-                    out, _ = pcg.solve_auto(
-                        self.graph.arrays(), max_poses=self.graph.K,
-                        iterations=self.cfg.graph.gn_iterations)
+                    out = self._solve_graph(self.graph.arrays())
                     self.graph.update_from(
                         np.asarray(out.q)[:self.graph.n_poses],
                         np.asarray(out.t)[:self.graph.n_poses])
