@@ -224,16 +224,23 @@ def _slam_cfg():
                                         sc_min_score=0.55))
 
 
-def run_full_slam(duration_s=7.0, batch=16384, warm_s=2.0):
+def run_full_slam(duration_s=7.0, batch=16384, warm_s=None):
     """End-to-end full SLAM: run_offline_batched + finalize on a loop
     drive.  ONE measured run; the jit cache is warmed READBACK-FREE first
     (SlamPipeline.warmup_batched) — an ordinary warm run would read its
     results back and permanently poison dispatch for the measured run on
-    the axon backend.  Wall time covers everything after packets are in
-    host memory."""
+    the axon backend.  The warm drive uses the SAME duration as the
+    measured one: shape buckets (keyframe ring capacity, trajectory
+    length) derive from the recording length, and a shorter warm drive
+    lands in different buckets, so the measured run would pay tens of
+    seconds of remote compiles (measured: 50 s hiding in the readback
+    stage).  Wall time covers everything after packets are in host
+    memory."""
     from veloslam_tpu.runtime.evaluate import ate, interpolate_positions
     from veloslam_tpu.runtime.pipeline import SlamPipeline
 
+    if warm_s is None:
+        warm_s = duration_s
     if warm_s:
         SlamPipeline(_slam_cfg()).warmup_batched(duration_s=warm_s,
                                                  batch=batch)
@@ -256,7 +263,9 @@ def run_full_slam(duration_s=7.0, batch=16384, warm_s=2.0):
         "n_closures": res["n_closures"],
         "map_patches": res["map_patches"],
         "ate_rmse_m": round(m["rmse"], 4),
-        "x_realtime": round(res["n_frames"] / wall / 10.0, 1),
+        "x_realtime": round(res["n_frames"] / wall / 10.0, 2),
+        "stage_s": {k: round(v["total_s"], 2)
+                    for k, v in sorted(res.get("timing", {}).items())},
     }
 
 
@@ -278,8 +287,11 @@ def main():
     ap.add_argument("--ab", action="store_true",
                     help="run the Pallas/dense-index A/B (a documented "
                          "loser on this backend — off by default)")
-    ap.add_argument("--live", action="store_true",
-                    help="measure live loopback ingest on this backend")
+    ap.add_argument("--live", action="store_true", default=True,
+                    help="measure live loopback ingest on this backend "
+                         "(default ON so the committed bench records it; "
+                         "--no-live disables)")
+    ap.add_argument("--no-live", dest="live", action="store_false")
     ap.add_argument("--full-duration-s", type=float, default=7.0)
     ap.add_argument("--full-budget-s", type=float, default=600.0,
                     help="wall-clock budget for the optional stages; "

@@ -57,38 +57,54 @@ def extract_scan_posts(pts: np.ndarray, mask: np.ndarray,
         np.asarray(grid.mean), np.asarray(grid.cov), voxel_size)
 
 
+def _host_voxel_stats(pts: np.ndarray, mask: np.ndarray,
+                      voxel_size: float):
+    """Pure-numpy voxel count/mean/cov for ONE scan (coords relative to
+    a zero origin, 10-bit packed like voxel.pack_keys).  Landmark
+    extraction is a host-side post-process over a few thousand points per
+    keyframe — routing it through the device costs per-chunk dispatches
+    and readbacks over the tunnel (~0.8 s per keyframe measured) for
+    work numpy does in ~30 ms."""
+    half = 512
+    p = pts[mask]
+    g = np.floor(p / np.float32(voxel_size)).astype(np.int64) + half
+    ok = np.all((g >= 0) & (g < 1024), axis=1)
+    p, g = p[ok], g[ok]
+    keys = (g[:, 0] << 20) | (g[:, 1] << 10) | g[:, 2]
+    uk, inv, count = np.unique(keys, return_inverse=True,
+                               return_counts=True)
+    V = len(uk)
+    s1 = np.zeros((V, 3))
+    np.add.at(s1, inv, p)
+    mean = s1 / count[:, None]
+    d = p - mean[inv]
+    s2 = np.zeros((V, 3, 3))
+    np.add.at(s2, inv, d[:, :, None] * d[:, None, :])
+    cov = s2 / count[:, None, None]
+    coords = np.stack([(uk >> 20) & 1023, (uk >> 10) & 1023,
+                       uk & 1023], -1) - half
+    return coords, count.astype(np.float32), mean.astype(np.float32), \
+        cov.astype(np.float32)
+
+
 def extract_scan_posts_batch(pts: np.ndarray, mask: np.ndarray,
                              voxel_size: float = 0.5,
                              capacity: int = 8192) -> List[np.ndarray]:
-    """Per-scan post detection for K stacked scans: the voxelization runs
-    as fixed-chunk vmapped device programs with ONE stacked readback per
-    chunk (a per-scan loop pays ~6 device round-trips per keyframe)."""
-    from veloslam_tpu.map.voxelmap import _BATCH_CHUNK, \
-        _transform_build_chunk
-
-    K = len(pts)
+    """Per-scan post detection for K stacked scans — host-only."""
     out: List[np.ndarray] = []
-    ident_q = np.zeros((_BATCH_CHUNK, 4), np.float32)
-    ident_q[:, 0] = 1.0
-    zeros3 = np.zeros((_BATCH_CHUNK, 3), np.float32)
-    for s0 in range(0, K, _BATCH_CHUNK):
-        n = min(_BATCH_CHUNK, K - s0)
-        pad = _BATCH_CHUNK - n
-        p = np.concatenate([np.asarray(pts[s0:s0 + n], np.float32)]
-                           + ([np.zeros((pad,) + pts.shape[1:],
-                                        np.float32)] if pad else []))
-        m = np.concatenate([np.asarray(mask[s0:s0 + n], bool)]
-                           + ([np.zeros((pad,) + mask.shape[1:], bool)]
-                              if pad else []))
-        grids = _transform_build_chunk(
-            jnp.asarray(p), jnp.asarray(m), jnp.asarray(ident_q),
-            jnp.asarray(zeros3), jnp.asarray(zeros3),
-            jnp.asarray(voxel_size, jnp.float32), capacity=capacity)
-        host = jax.tree.map(np.asarray, grids)
-        for k in range(n):
-            out.append(_posts_from_host_grid(
-                host.keys[k], host.count[k], host.mean[k], host.cov[k],
-                voxel_size))
+    for k in range(len(pts)):
+        coords, count, mean, cov = _host_voxel_stats(
+            np.asarray(pts[k], np.float32), np.asarray(mask[k], bool),
+            voxel_size)
+        if len(coords) == 0:
+            out.append(np.zeros((0, 3)))
+            continue
+        posts = extract_posts(coords, count, mean, cov, voxel_size)
+        if len(posts) == 0:
+            out.append(np.zeros((0, 3)))
+        else:
+            out.append(np.stack([posts[:, 0], posts[:, 1],
+                                 posts[:, 2] + 0.5 * posts[:, 3]], -1))
     return out
 
 
@@ -111,8 +127,19 @@ def associate_and_add(graph: PoseGraph,
     for k, dets in enumerate(keyframe_posts):
         if k >= len(q) or len(dets) == 0:
             continue
-        pose = se3.Pose(jnp.asarray(q[k]), jnp.asarray(t[k]))
-        w = np.asarray(se3.apply(pose, jnp.asarray(dets, jnp.float32)))
+        # Pure-numpy quaternion rotate: one device dispatch per keyframe
+        # costs ~0.5-1 s on the degraded tunnel for microseconds of math.
+        w0, x, y, z = (float(q[k][0]), float(q[k][1]), float(q[k][2]),
+                       float(q[k][3]))
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w0 * z),
+             2 * (x * z + w0 * y)],
+            [2 * (x * y + w0 * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w0 * x)],
+            [2 * (x * z - w0 * y), 2 * (y * z + w0 * x),
+             1 - 2 * (x * x + y * y)]], np.float32)
+        w = np.asarray(dets, np.float32) @ R.T + np.asarray(t[k],
+                                                           np.float32)
         for d, wp in zip(dets, w):
             world_det.append((k, d, wp))
     if not world_det:

@@ -945,18 +945,48 @@ class SlamPipeline:
                 reassociate_every=rc.reassociate_every,
                 dense_approx_centers=False)
 
+    @staticmethod
+    def _crop_graph(arrays, n_poses: int, n_landmarks: int = 0,
+                    n_edges: int = 0, n_obs: int = 0):
+        """Crop GraphArrays to power-of-two buckets covering the OCCUPIED
+        prefix: the dense solve scales with CAPACITY, not count — at the
+        default 1024-pose capacity a 35-keyframe session paid a (6144)²
+        Cholesky x8 iterations (~30 s single-core) for 35 real poses.
+        Buckets keep recompiles bounded."""
+        def b(n, lo=32):
+            n = max(int(n), 1)
+            return max(lo, 1 << int(np.ceil(np.log2(n))))
+        Kc = min(b(n_poses), arrays.q.shape[0])
+        Mc = min(b(max(n_landmarks, 1), 8), arrays.l_pos.shape[0])
+        Ec = min(b(max(n_edges, 1)), arrays.e_i.shape[0])
+        Oc = min(b(max(n_obs, 1), 8), arrays.o_i.shape[0])
+        return Kc, arrays._replace(
+            q=arrays.q[:Kc], t=arrays.t[:Kc],
+            e_i=arrays.e_i[:Ec], e_j=arrays.e_j[:Ec],
+            e_q=arrays.e_q[:Ec], e_t=arrays.e_t[:Ec],
+            e_info=arrays.e_info[:Ec], e_valid=arrays.e_valid[:Ec],
+            l_pos=arrays.l_pos[:Mc],
+            o_i=arrays.o_i[:Oc], o_l=arrays.o_l[:Oc],
+            o_z=arrays.o_z[:Oc], o_info=arrays.o_info[:Oc],
+            o_valid=arrays.o_valid[:Oc]), Mc
+
     def _solve_graph(self, arrays):
         """Pose-graph solve primitive (overridden by the distributed
         session to run the edge-sharded psum solver over the mesh)."""
         from veloslam_tpu.graph import pcg
-        out, _ = pcg.solve_auto(arrays, max_poses=self.graph.K,
+        Kc, cropped, _ = self._crop_graph(
+            arrays, self.graph.n_poses, 0, self.graph.n_edges, 0)
+        out, _ = pcg.solve_auto(cropped, max_poses=Kc,
                                 iterations=self.cfg.graph.gn_iterations)
         return out
 
     def _solve_graph_landmarks(self, arrays):
         """Landmark-aided solve primitive (sharded in the session)."""
+        Kc, cropped, Mc = self._crop_graph(
+            arrays, self.graph.n_poses, self.graph.n_landmarks,
+            self.graph.n_edges, self.graph.n_obs)
         out, _ = optimize.solve_with_landmarks(
-            arrays, max_poses=self.graph.K, max_landmarks=self.graph.M,
+            cropped, max_poses=Kc, max_landmarks=Mc,
             iterations=self.cfg.graph.gn_iterations)
         return out
 
