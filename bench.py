@@ -307,6 +307,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         try:
+            import jax.extend.backend
             jax.extend.backend.clear_backends()
         except Exception:
             pass

@@ -37,6 +37,7 @@ def main():
         # jax.default_backend), and reset any that slipped through.
         jax.config.update("jax_platforms", "cpu")
         try:
+            import jax.extend.backend
             jax.extend.backend.clear_backends()
         except Exception:
             pass

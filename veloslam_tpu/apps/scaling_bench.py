@@ -197,9 +197,19 @@ def main(argv=None) -> int:
             rest += ["--session", "--session-s", str(args.session_s)]
         return _run_multiprocess(args.processes, rest)
 
+    def _force_cpu(jax):
+        # The session sitecustomize pins the tunneled TPU platform and a
+        # backend may already be initialized; update AND reset.
+        jax.config.update("jax_platforms", "cpu")
+        try:
+            import jax.extend.backend
+            jax.extend.backend.clear_backends()
+        except Exception:
+            pass
+
     if args.worker:
         import jax
-        jax.config.update("jax_platforms", "cpu")
+        _force_cpu(jax)
         pid, n, port = (int(x) for x in args.worker.split(":"))
         from veloslam_tpu.parallel import dist
         dist.init_distributed(coordinator_address=f"127.0.0.1:{port}",
@@ -214,7 +224,7 @@ def main(argv=None) -> int:
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.virtual}")
         import jax
-        jax.config.update("jax_platforms", "cpu")
+        _force_cpu(jax)
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding

@@ -115,28 +115,35 @@ class DistributedSlamSession(SlamPipeline):
         c = self._roi_cache
         if (c is not None and c["tile"] == tile
                 and n_seen - c["frame"] < self.roi_refresh_frames):
-            return c["target"], c["has"]
+            return c["target"], c["dense"], c["has"]
         rows, origin, voxel_size = self._roi_rows(x, y)
         local_n = int((np.asarray(rows[0]) != vx.INVALID_KEY).sum())
         total = int(np.sum(dist.allgather(
             np.asarray([local_n], np.int64))))
         target = dist.assemble_global_plane_grid(
             self.mesh, rows, origin, voxel_size)
+        # Per-shard dense correspondence index, built ONCE per ROI
+        # refresh and reused for every frame registered against it
+        # (building the table inside the register call costs more than
+        # the registration itself on CPU hosts).
+        dense = (sharded.build_dense_sharded(self.mesh, target)
+                 if self.cfg.registration.use_dense_index else None)
         if total > 0:
             self._roi_cache = {"tile": tile, "frame": n_seen,
-                               "target": target, "has": True}
+                               "target": target, "dense": dense,
+                               "has": True}
         else:
             # Bootstrap: don't cache emptiness — the very next frame may
             # integrate the first content (frame-0 → frame-1 handoff).
             self._roi_cache = None
-        return target, total > 0
+        return target, dense, total > 0
 
     def _register_frame(self, pts, mask, T_prior: se3.Pose):
         rc = self.cfg.registration
         prior_t = np.asarray(T_prior.t)
         with self.timers.stage("register"):
-            target, has = self._global_roi(float(prior_t[0]),
-                                           float(prior_t[1]))
+            target, dense, has = self._global_roi(float(prior_t[0]),
+                                                  float(prior_t[1]))
             if not has:
                 return None        # no map content anywhere yet
             g_pts = dist.replicate(self.mesh,
@@ -148,7 +155,7 @@ class DistributedSlamSession(SlamPipeline):
                 huber_delta=rc.huber_delta,
                 max_dist=rc.max_correspondence_dist,
                 reassociate_every=rc.reassociate_every,
-                use_dense=rc.use_dense_index)
+                use_dense=rc.use_dense_index, dense=dense)
         return gicp.GicpResult(
             pose=se3.Pose(jnp.asarray(np.asarray(res.pose.q)),
                           jnp.asarray(np.asarray(res.pose.t))),

@@ -71,10 +71,34 @@ def sharded_normal_equations(mesh: Mesh, pts, mask, pose: se3.Pose,
     return H, b, err, n
 
 
+@functools.lru_cache(maxsize=16)
+def _dense_build_program(mesh: Mesh):
+    """Per-shard DenseIndex build over the map axis: tables stacked on a
+    sharded leading axis so the session can cache them with the ROI and
+    reuse across frames (building the 2M-cell table per register call
+    costs more than the registration on CPU hosts)."""
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(plane_grid_specs("map"),),
+                       out_specs=(P("map"), P("map")), check_vma=False)
+    def f(shard: PlaneGrid):
+        d = vx.build_dense_index(shard.grid)
+        return d.table[None], d.lo[None]
+
+    return jax.jit(f)
+
+
+def build_dense_sharded(mesh: Mesh, target: PlaneGrid):
+    """Build each map shard's dense correspondence index once; pass the
+    result to register_sharded(dense=...) to skip the in-kernel build."""
+    return _dense_build_program(mesh)(target)
+
+
 @functools.lru_cache(maxsize=64)
 def _register_program(mesh: Mesh, iterations: int, damping: float,
                       huber_delta: float, max_dist: float,
-                      reassociate_every: int, use_dense: bool):
+                      reassociate_every: int, use_dense: bool,
+                      prebuilt_dense: bool = False):
     """Compiled map-sharded GN program, cached per (mesh, statics).
 
     Rebuilding the closure per call would miss jax.jit's cache (it keys on
@@ -95,12 +119,21 @@ def _register_program(mesh: Mesh, iterations: int, damping: float,
     """
     k = max(int(reassociate_every), 1)
 
+    dense_specs = (P("map"), P("map")) if prebuilt_dense else (P(), P())
+
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), plane_grid_specs("map")),
+        in_specs=(P(), P(), P(), P(), plane_grid_specs("map"),
+                  *dense_specs),
         out_specs=(P(), P(), P(), P()), check_vma=False)
-    def run_shard(pts_, mask_, init_q, init_t, shard: PlaneGrid):
-        dense = vx.build_dense_index(shard.grid) if use_dense else None
+    def run_shard(pts_, mask_, init_q, init_t, shard: PlaneGrid,
+                  dtab, dlo):
+        if prebuilt_dense:
+            dense = vx.DenseIndex(table=dtab[0], lo=dlo[0])
+        elif use_dense:
+            dense = vx.build_dense_index(shard.grid)
+        else:
+            dense = None
 
         def gn_iter(state, mu, n, hit0):
             pose, _, _ = state
@@ -142,8 +175,8 @@ def _register_program(mesh: Mesh, iterations: int, damping: float,
 
     # Device arrays flow through as jit arguments (axon: never close over
     # committed arrays).
-    def run(pts_, mask_, target_, init_q, init_t):
-        return run_shard(pts_, mask_, init_q, init_t, target_)
+    def run(pts_, mask_, target_, init_q, init_t, dtab, dlo):
+        return run_shard(pts_, mask_, init_q, init_t, target_, dtab, dlo)
 
     return jax.jit(run)
 
@@ -152,16 +185,27 @@ def register_sharded(mesh: Mesh, pts, mask, target: PlaneGrid,
                      init_pose: se3.Pose, *, iterations: int = 16,
                      damping: float = 1e-6, huber_delta: float = 0.5,
                      max_dist: float = 2.0, reassociate_every: int = 1,
-                     use_dense: bool = False) -> gicp.GicpResult:
+                     use_dense: bool = False,
+                     dense=None) -> gicp.GicpResult:
     """Gauss-Newton registration against a map-sharded target grid.
 
     Same contract as gicp.register (including its `reassociate_every`
     association schedule); the scan is replicated, the map is sharded,
-    and each iteration reduces one (6,6)+(6,) psum.
+    and each iteration reduces one (6,6)+(6,) psum.  Pass
+    `dense=build_dense_sharded(mesh, target)` to reuse a cached per-shard
+    index across calls (the session caches it with its ROI).
     """
     run = _register_program(mesh, iterations, damping, huber_delta,
-                            max_dist, reassociate_every, use_dense)
-    q, t, err, n_hit = run(pts, mask, target, init_pose.q, init_pose.t)
+                            max_dist, reassociate_every, use_dense,
+                            prebuilt_dense=dense is not None)
+    if dense is None:
+        n_dev = mesh.shape["map"]
+        dtab = jnp.zeros((n_dev, 1, 1, 1), jnp.int32)
+        dlo = jnp.zeros((n_dev, 3), jnp.int32)
+    else:
+        dtab, dlo = dense
+    q, t, err, n_hit = run(pts, mask, target, init_pose.q, init_pose.t,
+                           dtab, dlo)
     return gicp.GicpResult(pose=se3.Pose(q, t), n_matched=n_hit,
                            mean_error=err,
                            iterations=jnp.asarray(iterations, jnp.int32))
