@@ -204,12 +204,18 @@ def verify_closures_device(ring_pts: jax.Array, ring_msk: jax.Array,
     res_c = gicp.register_batch(pts_j, msk_j, grids_c,
                                 se3.Pose(cand.prior_q, cand.prior_t),
                                 iterations=6, share_target=False,
-                                max_dist=6.0 * voxel_size)
+                                max_dist=6.0 * voxel_size,
+                                reassociate_every=2)
     grids_i = jax.vmap(
         lambda p, m: gicp.build_plane_grid(p, m, jnp.zeros(3), voxel_size,
                                            capacity=capacity))(pts_i, msk_i)
+    # Block re-association (same schedule as production odometry): the
+    # verify registrations start from the coarse pose, so correspondences
+    # are stable across consecutive iterations and association is the
+    # dominant cost of the sweep.
     res = gicp.register_batch(pts_j, msk_j, grids_i, res_c.pose,
-                              iterations=iterations, share_target=False)
+                              iterations=iterations, share_target=False,
+                              reassociate_every=4)
     H_self, _, _, n_self = jax.vmap(
         lambda p, m, g: gicp.normal_equations(p, m, se3.Pose.identity(), g)
     )(pts_i, msk_i, grids_i)
@@ -227,7 +233,8 @@ def verify_closures_device(ring_pts: jax.Array, ring_msk: jax.Array,
                                            capacity=capacity))(pts_j, msk_j)
     inv = jax.vmap(se3.inverse)(res.pose)
     bwd = gicp.register_batch(pts_i, msk_i, grids_j, inv,
-                              iterations=iterations, share_target=False)
+                              iterations=iterations, share_target=False,
+                              reassociate_every=4)
     comp = jax.vmap(se3.compose)(res.pose, bwd.pose)
     cyc_t = jnp.linalg.norm(comp.t, axis=-1)
     cyc_r = 2.0 * jnp.arccos(jnp.clip(jnp.abs(comp.q[:, 0]), 0.0, 1.0))
