@@ -41,6 +41,7 @@ def scene():
     return a, b
 
 
+@pytest.mark.slow
 def test_d2d_gradient_matches_autodiff(scene):
     """b must equal the gradient of the half-Mahalanobis cost at the
     linearization point (W held fixed — the Gauss-Newton convention)."""

@@ -211,6 +211,7 @@ def test_landmark_association_end_to_end():
     assert after.mean() < before.mean() * 0.7, (before, after)
 
 
+@pytest.mark.slow
 def test_verify_closures_batch_matches_single():
     """Batched candidate verification (one vmapped grid build + one
     stacked-target register_batch) must agree with per-pair
@@ -352,6 +353,133 @@ def test_pcg_matches_dense_solver():
     assert float(st.final_cost) < 1.01 * float(ds.final_cost) + 1e-6
 
 
+def test_pcg_landmarks_matches_dense_schur():
+    """The matrix-free landmark-Schur PCG must agree with the dense Schur
+    solver on the same poses+landmarks problem — the correctness gate for
+    landmark sessions beyond the dense ceiling."""
+    from veloslam_tpu.graph import pcg
+    rng = np.random.default_rng(7)
+    n = 12
+    g, true = _noisy_circle_graph(rng, n=n, drift=0.02, yaw_drift=0.005,
+                                  max_poses=16, max_edges=32)
+    true_lm = rng.uniform(-30, 30, (8, 3)).astype(np.float32)
+    true_lm[:, 2] = rng.uniform(0, 5, 8)
+    for m in range(8):
+        g.add_landmark(true_lm[m] + rng.normal(0, 0.3, 3))
+    for k in range(n):
+        for m in range(8):
+            z = np.asarray(se3.apply(se3.inverse(true[k]),
+                                     jnp.asarray(true_lm[m])))
+            if np.linalg.norm(z) < 40:
+                g.add_observation(k, m, z + rng.normal(0, 0.01, 3),
+                                  info=(100.0,) * 3)
+    arrays = g.arrays()
+    dense, ds = optimize.solve_with_landmarks(
+        arrays, max_poses=g.K, max_landmarks=g.M, iterations=8)
+    it, st = pcg.solve_pcg_landmarks(arrays, max_poses=g.K,
+                                     max_landmarks=g.M, iterations=8,
+                                     cg_iters=512)
+    np.testing.assert_allclose(np.asarray(it.t)[:n],
+                               np.asarray(dense.t)[:n], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(it.l_pos)[:8],
+                               np.asarray(dense.l_pos)[:8], atol=5e-3)
+    assert float(st.final_cost) < 1.01 * float(ds.final_cost) + 1e-6
+
+
+def test_posegraph_autogrow():
+    """add_* never raises at capacity: backing arrays grow geometrically
+    (the unbounded-session contract, reference HDLManager.cxx:321-425
+    bounds RAM, never session length)."""
+    rng = np.random.default_rng(0)
+    g = PoseGraph(max_poses=4, max_edges=4, max_landmarks=2, max_obs=4)
+    n = 100
+    ts = rng.normal(0, 10, (n, 3)).astype(np.float32)
+    for k in range(n):
+        g.add_pose([1, 0, 0, 0], ts[k])
+        if k:
+            g.add_edge(k - 1, k, [1, 0, 0, 0], [1.0, 0, 0])
+    for m in range(20):
+        g.add_landmark([float(m), 0.0, 0.0])
+        for k in range(3):
+            g.add_observation(k, m, [1.0, 2.0, 3.0])
+    assert g.n_poses == n and g.K >= n
+    assert g.n_edges == n - 1
+    assert g.n_landmarks == 20 and g.n_obs == 60
+    np.testing.assert_allclose(g.t[:n], ts)      # values survived growth
+    np.testing.assert_allclose(g.q[n:, 0], 1.0)  # padding stays identity
+    # the grown graph still solves (through the production crop)
+    from veloslam_tpu.runtime.pipeline import SlamPipeline
+    Kc, cropped, _ = SlamPipeline._crop_graph(
+        g.arrays(), g.n_poses, g.n_landmarks, g.n_edges, g.n_obs)
+    out, stats = optimize.solve(cropped, max_poses=Kc, iterations=2)
+    assert np.all(np.isfinite(np.asarray(out.t)[:n]))
+
+
+@pytest.mark.slow
+def test_pcg_landmarks_scales_past_dense_ceiling():
+    """A 4096-pose drifted chain WITH landmark observations solves
+    matrix-free (the dense Schur path's (6K)² normal matrix cannot
+    allocate at 16k; 4k keeps the test fast while exercising the same
+    code path) and the solve pulls the drifted chain toward truth."""
+    from veloslam_tpu.graph import pcg
+    rng = np.random.default_rng(5)
+    n, lap = 4096, 256
+    radius = 50.0
+    step = 2 * np.pi / lap
+    g = PoseGraph(max_poses=4096, max_edges=2 * 4096,
+                  max_landmarks=64, max_obs=8192)
+    true_t = []
+    est = se3.Pose(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                   jnp.zeros(3, jnp.float32))
+    g.add_pose(np.asarray(est.q), np.asarray(est.t))
+    true_prev = se3.Pose(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                         jnp.zeros(3, jnp.float32))
+    true_t.append(np.zeros(3))
+    true_poses = [true_prev]
+    for k in range(1, n):
+        ang = (k % lap) * step
+        tt = np.array([radius * np.sin(ang), radius * (1 - np.cos(ang)),
+                       0.0], np.float32)
+        tq = np.asarray(se3.quat_exp(jnp.asarray([0.0, 0.0, ang])),
+                        np.float32)
+        true_cur = se3.Pose(jnp.asarray(tq), jnp.asarray(tt))
+        rel_q, rel_t = relative_pose_measurement(true_prev, true_cur)
+        noisy_t = rel_t + rng.normal(0, 0.01, 3).astype(np.float32)
+        est = se3.compose(est, se3.Pose(jnp.asarray(rel_q),
+                                        jnp.asarray(noisy_t)))
+        g.add_pose(np.asarray(est.q), np.asarray(est.t))
+        g.add_edge(k - 1, k, rel_q, noisy_t, info=(100.0,) * 6)
+        true_prev = true_cur
+        true_poses.append(true_cur)
+        true_t.append(tt.copy())
+    # landmarks on the lap circle, observed whenever the TRUE pose is near
+    true_lm = np.stack([
+        [radius * np.sin(a), radius * (1 - np.cos(a)), 2.0]
+        for a in np.linspace(0, 2 * np.pi, 16, endpoint=False)]
+    ).astype(np.float32)
+    for m in range(16):
+        g.add_landmark(true_lm[m] + rng.normal(0, 0.2, 3))
+    for k in range(0, n, 8):
+        for m in range(16):
+            z = np.asarray(se3.apply(se3.inverse(true_poses[k]),
+                                     jnp.asarray(true_lm[m])))
+            if np.linalg.norm(z) < 25:
+                g.add_observation(k, m, z + rng.normal(0, 0.02, 3),
+                                  info=(25.0,) * 3)
+    assert g.n_obs > 1000
+    before = np.sqrt(np.mean(np.sum(
+        (g.t[:n] - np.asarray(true_t)) ** 2, axis=1)))
+    out, stats = pcg.solve_pcg_landmarks(
+        g.arrays(), max_poses=g.K, max_landmarks=g.M, iterations=4,
+        cg_iters=64)
+    after = np.sqrt(np.mean(np.sum(
+        (np.asarray(out.t)[:n] - np.asarray(true_t)) ** 2, axis=1)))
+    assert np.isfinite(float(stats.final_cost))
+    assert float(stats.final_cost) < float(stats.initial_cost)
+    assert after < 0.5 * before, (before, after)
+
+
+@pytest.mark.slow
 def test_pcg_scales_past_dense_ceiling():
     """A 10k-pose drifted chain with periodic loop closures solves
     matrix-free (the dense solver cannot even allocate (60k)^2).  The

@@ -37,6 +37,7 @@ def _scene(rng, n_per=24):
     return np.concatenate(pts).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_register_halo_sharded_matches_unsharded(mesh4):
     """Production path: points routed by key-range ownership + haloed map
     shards reproduce the single-device GICP result."""

@@ -135,6 +135,7 @@ def test_scan_to_map_via_voxelmap(world):
                                atol=0.005)
 
 
+@pytest.mark.slow
 def test_landmark_extraction(world):
     m = VoxelMap(MapConfig(voxel_size=0.5))
     # dense multi-view sampling of the world for stable voxel stats
@@ -163,6 +164,83 @@ def test_landmark_extraction(world):
     matched = np.unique(np.argmin(
         np.linalg.norm(posts[:, None, :2] - true_xy[None], axis=2), axis=1))
     assert len(matched) >= 2
+
+
+def test_ground_mark_extraction():
+    """Painted stripes on the ground (intensity edges, not geometry) are
+    recovered as GroundLineMark segments with correct endpoints/width
+    (reference MapObjects.h:38-45 — the reference defines the type but
+    never produces it)."""
+    from veloslam_tpu.map.landmarks import extract_ground_marks
+    truth = np.array([[2.0, -0.15, 10.0, -0.15, 0.3],
+                      [2.0, 1.85, 10.0, 1.85, 0.3]])
+    world = sim.World(marks=truth)
+    # dense ray fan from a sensor pose onto the ground patch
+    origin = np.array([0.0, 0.0, 2.0])
+    gx, gy = np.meshgrid(np.linspace(0.5, 12, 300),
+                         np.linspace(-2, 4, 240))
+    targets = np.stack([gx.ravel(), gy.ravel(),
+                        np.zeros(gx.size)], -1)
+    dirs = targets - origin
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dist, kind = sim.raycast(world, np.broadcast_to(origin, dirs.shape),
+                             dirs)
+    intensity = np.choose(kind, [0, 80, 200, 150, 255])
+    pts = (origin + dirs * dist[:, None]).astype(np.float32)
+    assert (kind == 4).sum() > 100, "simulator produced no mark returns"
+    marks = extract_ground_marks(pts, intensity, dist > 0,
+                                 voxel_size=0.25)
+    assert len(marks) == 2, marks
+    for x0, y0, x1, y1, width in truth:
+        # one extracted segment matches this stripe's endpoints (order-free)
+        e = marks[:, :6].reshape(-1, 2, 3)
+        d_fwd = (np.linalg.norm(e[:, 0, :2] - [x0, y0], axis=1)
+                 + np.linalg.norm(e[:, 1, :2] - [x1, y1], axis=1))
+        d_rev = (np.linalg.norm(e[:, 0, :2] - [x1, y1], axis=1)
+                 + np.linalg.norm(e[:, 1, :2] - [x0, y0], axis=1))
+        best = np.minimum(d_fwd, d_rev).min()
+        assert best < 1.0, (best, marks)
+    assert np.all(np.abs(marks[:, 6] - 0.3) < 0.3), marks[:, 6]
+
+
+def test_complex_extraction():
+    """Structured non-post non-plane blobs become Complex landmarks
+    (center + bbox + representative points, MapObjects.h:28-36); ground,
+    walls and posts are claimed by their own extractors and must NOT
+    appear as complexes."""
+    rng = np.random.default_rng(11)
+    # a 2.0 x 1.5 x 1.2 m volumetric blob ("parked car")
+    blob = rng.uniform([5.0, 3.0, 0.0], [7.0, 4.5, 1.2], (4000, 3))
+    # dense flat ground
+    ground = np.stack([rng.uniform(-10, 15, 8000),
+                       rng.uniform(-10, 15, 8000),
+                       rng.normal(0, 0.02, 8000)], -1)
+    # a thin post at (-4, -4)
+    ang = rng.uniform(0, 2 * np.pi, 1500)
+    post = np.stack([-4 + 0.2 * np.cos(ang), -4 + 0.2 * np.sin(ang),
+                     rng.uniform(0, 4, 1500)], -1)
+    pts = np.concatenate([blob, ground, post]).astype(np.float32)
+    m = VoxelMap(MapConfig(voxel_size=0.5))
+    m.integrate_points(pts, np.ones(len(pts), bool), np.zeros(3))
+    metas = []
+    for key in list(m._patches):
+        lm = extract_landmarks(m._patches[key], 0.5)
+        if len(lm.cplx_meta):
+            metas.append((lm.cplx_meta, lm.cplx_offsets, lm.cplx_points))
+    assert metas, "no complexes extracted"
+    all_meta = np.concatenate([m0 for m0, _, _ in metas])
+    # exactly one blob; its center/bbox match the truth
+    centers = all_meta[:, :3]
+    d = np.linalg.norm(centers[:, :2] - [6.0, 3.75], axis=1)
+    assert d.min() < 0.6, centers
+    best = all_meta[np.argmin(d)]
+    np.testing.assert_allclose(best[3:5], [2.0, 1.5], atol=0.8)
+    # nothing extracted at the post or on open ground
+    assert np.all((d < 3.0) | (np.linalg.norm(
+        centers[:, :2] - [-4.0, -4.0], axis=1) > 1.5)), centers
+    # member points live inside the blob bbox (padded)
+    _, off, cp = metas[0]
+    assert off[-1] == len(cp)
 
 
 def test_deintegrate_inverts_integrate():

@@ -43,6 +43,7 @@ def test_tile_owner_balanced_and_deterministic():
     assert same < 0.5, same
 
 
+@pytest.mark.slow
 def test_two_process_sharded_registration(tmp_path):
     """Two OS processes, each owning the map tiles that hash to it, run
     the shard_map registration kernel over a global mesh and recover a
@@ -73,6 +74,7 @@ _SESSION_WORKER = os.path.join(os.path.dirname(__file__),
                                "multihost_session_worker.py")
 
 
+@pytest.mark.slow
 def test_two_process_slam_session(tmp_path):
     """The full SLAM SESSION across two processes (configs[4] as a
     pipeline, not a kernel demo): simulated drive in, map tiles

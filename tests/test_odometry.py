@@ -29,6 +29,7 @@ def _track(seq, drift_rate=0.0):
     return track
 
 
+@pytest.mark.slow
 def test_streaming_odometry_tracks_truth(drive):
     odo = StreamingOdometry(DeviceCalib.from_host(calibration.hdl32()),
                             reg_iterations=8)
@@ -41,6 +42,7 @@ def test_streaming_odometry_tracks_truth(drive):
     assert m["rmse"] < 0.15, m
 
 
+@pytest.mark.slow
 def test_streaming_odometry_corrects_drifting_ins():
     """Drift correction needs lateral structure; use a dense world (the
     sparse default leaves the drift direction weakly observable — scan
@@ -64,6 +66,7 @@ def test_streaming_odometry_corrects_drifting_ins():
     assert m["rmse"] < 0.25, m
 
 
+@pytest.mark.slow
 def test_batched_odometry_matches_sequential(drive):
     """The batched step (all frame slots registered in one vmapped GICP
     dispatch against the batch-start map) must track ground truth and agree
@@ -116,6 +119,7 @@ def test_pad_window_even_subsampling():
     assert out2["rel_s"][-1] == w2["rel_s"][-1]
 
 
+@pytest.mark.slow
 def test_streaming_run_processes_tail_and_short_recordings(drive):
     """run() must not drop the trailing partial batch: a batch size larger
     than the whole recording (the old silent-0-frames failure) and a
@@ -139,6 +143,7 @@ def test_streaming_run_processes_tail_and_short_recordings(drive):
     np.testing.assert_allclose(odd["times_us"], ref["times_us"])
 
 
+@pytest.mark.slow
 def test_streaming_run_grows_trajectory_capacity(drive):
     """A state created with tiny max_frames must still record every frame
     (run() grows the device buffers from the recording length)."""
@@ -150,6 +155,7 @@ def test_streaming_run_grows_trajectory_capacity(drive):
     assert np.all(np.diff(res["times_us"]) > 0)
 
 
+@pytest.mark.slow
 def test_unbounded_drive_rebases_rolling_map():
     """A straight drive crossing the +/-512 m packed-key window must keep
     registering: the rolling map re-keys itself around the vehicle

@@ -32,6 +32,7 @@ def world():
     return sim.World.demo(seed=5, n_posts=30, n_walls=10)
 
 
+@pytest.mark.slow
 def test_sharded_register_matches_single_device(mesh8, world):
     """Map-sharded registration must agree with the single-device solver."""
     tgt = _static_scan(world, np.array([0.0, 0.0, 2.0]), 0.0)
@@ -147,6 +148,7 @@ def test_compiled_programs_are_cached(mesh8):
         is not sharded._register_program(mesh8, 16, 1e-6, 0.5, 2.0, 8, True)
 
 
+@pytest.mark.slow
 def test_sharded_graph_solve_matches_host(mesh8):
     """Full distributed Gauss-Newton (edges + landmark observations
     sharded, Schur over psum) must match the host solvers — the

@@ -167,6 +167,7 @@ def test_slam_run_cli(tmp_path):
     assert traj.shape[1] == 8
 
 
+@pytest.mark.slow
 def test_slam_run_cli_fast(tmp_path):
     """--fast: bulk batched odometry through the CLI (bench.py's
     configuration at reduced scale) still writes trajectory + ATE."""

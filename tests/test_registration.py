@@ -223,6 +223,7 @@ def test_register_identity_stays_identity(world):
     assert float(res.mean_error) < 0.05
 
 
+@pytest.mark.slow
 def test_dense_index_lookup_matches_search(world):
     """DenseIndex O(1) lookup must return the same correspondences as the
     binary-search path, and registration through it the same pose."""
@@ -254,6 +255,7 @@ def test_dense_index_lookup_matches_search(world):
                                atol=1e-2)
 
 
+@pytest.mark.slow
 def test_register_batch_matches_sequential(world):
     """register_batch (vmapped, one dispatch) must produce the same poses
     as F independent register() calls — both shared-target (batched

@@ -331,6 +331,7 @@ def test_native_pump_tsan(tmp_path):
     assert "TSAN_OK" in run.stdout
 
 
+@pytest.mark.slow
 def test_live_fast_mode_loopback():
     """Live ingest through the device-resident engine (run_online
     fast=True): sustains the sensor rate with zero receiver drops, defers

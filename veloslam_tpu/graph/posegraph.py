@@ -46,7 +46,16 @@ class GraphArrays(NamedTuple):
 
 
 class PoseGraph:
-    """Host-side builder with append APIs; `arrays()` snapshots for jit."""
+    """Host-side builder with append APIs; `arrays()` snapshots for jit.
+
+    Capacities are STARTING sizes, not limits: every `add_*` grows its
+    backing array geometrically (powers of two) when full, so a session
+    can keyframe for as long as the disk lasts — the reference's memory
+    model bounds RAM, never session length (reference
+    HDLManager.cxx:321-425).  Solver cost is unaffected: the solve paths
+    crop to the occupied prefix (runtime/pipeline._crop_graph), so
+    compiled shapes track the LIVE counts, not these host allocations.
+    """
 
     def __init__(self, max_poses: int = 1024, max_edges: int = 4096,
                  max_landmarks: int = 1024, max_obs: int = 8192):
@@ -73,9 +82,45 @@ class PoseGraph:
 
     # --- construction ------------------------------------------------------
 
+    @staticmethod
+    def _grow(arr: np.ndarray, new_n: int) -> np.ndarray:
+        out = np.zeros((new_n,) + arr.shape[1:], arr.dtype)
+        out[:len(arr)] = arr
+        return out
+
+    def _grow_poses(self) -> None:
+        K2 = max(self.K * 2, 32)
+        self.q = self._grow(self.q, K2)
+        self.q[self.K:, 0] = 1.0
+        self.t = self._grow(self.t, K2)
+        self.K = K2
+
+    def _grow_edges(self) -> None:
+        E2 = max(self.E * 2, 32)
+        self.e_i = self._grow(self.e_i, E2)
+        self.e_j = self._grow(self.e_j, E2)
+        self.e_q = self._grow(self.e_q, E2)
+        self.e_q[self.E:, 0] = 1.0
+        self.e_t = self._grow(self.e_t, E2)
+        self.e_info = self._grow(self.e_info, E2)
+        self.E = E2
+
+    def _grow_landmarks(self) -> None:
+        M2 = max(self.M * 2, 16)
+        self.l_pos = self._grow(self.l_pos, M2)
+        self.M = M2
+
+    def _grow_obs(self) -> None:
+        O2 = max(self.O * 2, 32)
+        self.o_i = self._grow(self.o_i, O2)
+        self.o_l = self._grow(self.o_l, O2)
+        self.o_z = self._grow(self.o_z, O2)
+        self.o_info = self._grow(self.o_info, O2)
+        self.O = O2
+
     def add_pose(self, q, t) -> int:
         if self.n_poses >= self.K:
-            raise ValueError(f"pose capacity {self.K} exceeded")
+            self._grow_poses()
         k = self.n_poses
         self.q[k] = np.asarray(q, np.float32)
         self.t[k] = np.asarray(t, np.float32)
@@ -85,7 +130,7 @@ class PoseGraph:
     def add_edge(self, i: int, j: int, rel_q, rel_t,
                  info=(100.0,) * 6) -> int:
         if self.n_edges >= self.E:
-            raise ValueError(f"edge capacity {self.E} exceeded")
+            self._grow_edges()
         e = self.n_edges
         self.e_i[e], self.e_j[e] = i, j
         self.e_q[e] = np.asarray(rel_q, np.float32)
@@ -97,7 +142,7 @@ class PoseGraph:
 
     def add_landmark(self, pos) -> int:
         if self.n_landmarks >= self.M:
-            raise ValueError(f"landmark capacity {self.M} exceeded")
+            self._grow_landmarks()
         m = self.n_landmarks
         self.l_pos[m] = np.asarray(pos, np.float32)
         self.n_landmarks += 1
@@ -106,7 +151,7 @@ class PoseGraph:
     def add_observation(self, pose_i: int, landmark: int, z,
                         info=(25.0,) * 3) -> int:
         if self.n_obs >= self.O:
-            raise ValueError(f"observation capacity {self.O} exceeded")
+            self._grow_obs()
         o = self.n_obs
         self.o_i[o], self.o_l[o] = pose_i, landmark
         self.o_z[o] = np.asarray(z, np.float32)

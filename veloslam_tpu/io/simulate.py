@@ -35,13 +35,17 @@ from veloslam_tpu.io.pcap import PcapWriter
 @dataclasses.dataclass
 class World:
     """Ground plane + posts (cx, cy, r, z0, z1) + walls (x0, y0, x1, y1,
-    zlo, zhi)."""
+    zlo, zhi) + painted ground marks (x0, y0, x1, y1, width) — stripes on
+    the ground plane that return paint-level retro-reflective intensity
+    (the GroundLineMark source, reference MapObjects.h:38-45)."""
 
     ground_z: float = 0.0
     posts: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 5)))
     walls: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0, 6)))
+    marks: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 5)))
 
     @staticmethod
     def demo(seed: int = 0, extent: float = 80.0, n_posts: int = 24,
@@ -70,7 +74,9 @@ def raycast(world: World, origins: np.ndarray, dirs: np.ndarray,
     """Closed-form ray intersection with the world.
 
     Returns (dist (R,) float64 — 0 where no hit within max_range,
-    kind (R,) uint8 — 0 none, 1 ground, 2 post, 3 wall).
+    kind (R,) uint8 — 0 none, 1 ground, 2 post, 3 wall, 4 painted mark
+    (a ground hit inside a mark stripe — same geometry, paint-level
+    intensity)).
     """
     R = origins.shape[0]
     dist = np.zeros(R)
@@ -88,6 +94,19 @@ def raycast(world: World, origins: np.ndarray, dirs: np.ndarray,
         hit = (dz != 0) & (tg > 0.1) & (tg < best)
         best = np.where(hit, tg, best)
         k = np.where(hit, 1, k)
+        # painted marks: ground hits whose xy lies inside a stripe
+        if len(world.marks):
+            tg_safe = np.where(hit, tg, 0.0)
+            gx = o[:, 0] + tg_safe * d[:, 0]
+            gy = o[:, 1] + tg_safe * d[:, 1]
+            for x0, y0, x1, y1, width in world.marks:
+                seg = np.array([x1 - x0, y1 - y0])
+                ln = np.hypot(*seg)
+                u = ((gx - x0) * seg[0] + (gy - y0) * seg[1]) / (ln * ln)
+                perp = np.abs((gx - x0) * (-seg[1]) + (gy - y0) * seg[0]) \
+                    / ln
+                on = hit & (u >= 0) & (u <= 1) & (perp <= width / 2)
+                k = np.where(on, 4, k)
 
         # posts (finite vertical cylinders)
         for cx, cy, r, z0, z1 in world.posts:
@@ -275,7 +294,9 @@ def generate_sequence(duration_s: float = 2.0, model: str = "hdl32",
 
     dist_raw = np.round(np.maximum(dist, 0.0) / C.DISTANCE_UNIT_M)
     dist_raw = np.where((dist_raw > 0) & (dist_raw < 65536), dist_raw, 0)
-    intensity = np.choose(kindv, [0, 80, 200, 150])
+    # none / ground / post / wall / painted mark (retro-reflective paint
+    # saturates the return, the GroundLineMark intensity edge)
+    intensity = np.choose(kindv, [0, 80, 200, 150, 255])
 
     nb = n_blocks
     az_blocks = (np.repeat(fire_az, 2) if hdl64 else fire_az).reshape(-1)

@@ -186,8 +186,152 @@ def extract_planes(coords: np.ndarray, count: np.ndarray, mean: np.ndarray,
     return np.asarray(planes).reshape(-1, 16)
 
 
+def _connected_components(cells: np.ndarray, reach: int = 1) -> np.ndarray:
+    """Label integer grid cells (N, D) by `reach`-neighborhood
+    connectivity (reach=1 → 8/26-connected).  Union-find over a cell
+    hash; host numpy — extraction is a post-process over a few thousand
+    occupied voxels, not a device kernel."""
+    n = len(cells)
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    index = {tuple(c): i for i, c in enumerate(cells)}
+    D = cells.shape[1]
+    offsets = np.array(np.meshgrid(
+        *[range(-reach, reach + 1)] * D)).reshape(D, -1).T
+    for off in offsets:
+        if not off.any():
+            continue
+        for i, c in enumerate(cells):
+            j = index.get(tuple(c + off))
+            if j is not None:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[rb] = ra
+    return np.asarray([find(i) for i in range(n)])
+
+
+def extract_complexes(coords: np.ndarray, count: np.ndarray,
+                      mean: np.ndarray, cov: np.ndarray, voxel_size: float,
+                      min_points: int = 6, min_voxels: int = 8,
+                      max_voxels: int = 400,
+                      min_height_voxels: int = 2) -> Tuple[np.ndarray,
+                                                           np.ndarray,
+                                                           np.ndarray]:
+    """Detect Complex landmarks: clustered blobs of structured, off-ground
+    voxels that neither the post nor the plane extractor claims (bushes,
+    parked cars, sculptures — the reference's catch-all type,
+    MapObjects.h:28-36: center + a representative point set).
+
+    Residual definition: occupied voxels that are neither post-like
+    (vertical line) nor strongly planar; 26-connected clusters with
+    ≥ min_voxels members and ≥ min_height_voxels vertical extent become
+    one Complex each.  max_voxels rejects terrain-scale residue.
+
+    Returns (meta (K, 6): center xyz + bbox extents, offsets (K+1,),
+    points (ΣNk, 3): member voxel means) — the Landmarks.cplx_* layout.
+    """
+    empty = (np.zeros((0, 6)), np.zeros(1, np.int64),
+             np.zeros((0, 3), np.float32))
+    if len(coords) == 0:
+        return empty
+    import numpy.linalg as la
+    w, v = la.eigh(np.asarray(cov, np.float64) + 1e-9 * np.eye(3))
+    dom = v[:, :, 2]
+    postlike = (np.abs(dom[:, 2]) > 0.85) \
+        & (np.sqrt(np.maximum(w[:, 0] + w[:, 1], 0.0)) < 0.8)
+    planarity = (w[:, 1] - w[:, 0]) / np.maximum(w[:, 2], 1e-12)
+    planar = planarity > 0.4
+    ok = (count >= min_points) & ~postlike & ~planar
+    if not ok.any():
+        return empty
+    c = coords[ok]
+    m = mean[ok]
+    labels = _connected_components(c)
+    meta, offsets, points = [], [0], []
+    for lab in np.unique(labels):
+        sel = labels == lab
+        nsel = int(sel.sum())
+        if not (min_voxels <= nsel <= max_voxels):
+            continue
+        zs = c[sel, 2]
+        if zs.max() - zs.min() + 1 < min_height_voxels:
+            continue   # flat ground residue, not a structure
+        mm = m[sel]
+        lo = mm.min(0)
+        hi = mm.max(0)
+        meta.append(np.concatenate([(lo + hi) / 2, hi - lo]))
+        points.append(mm.astype(np.float32))
+        offsets.append(offsets[-1] + nsel)
+    if not meta:
+        return empty
+    return (np.asarray(meta).reshape(-1, 6),
+            np.asarray(offsets, np.int64),
+            np.concatenate(points).reshape(-1, 3))
+
+
+def extract_ground_marks(pts: np.ndarray, intensity: np.ndarray,
+                         mask: np.ndarray, ground_z: float = 0.0,
+                         voxel_size: float = 0.5,
+                         high_intensity: float = 220.0,
+                         max_height: float = 0.3, min_points: int = 12,
+                         min_length: float = 1.0) -> np.ndarray:
+    """Detect GroundLineMark landmarks: painted lane-mark segments as
+    intensity edges on the ground plane (MapObjects.h:38-45: two
+    endpoints + width).
+
+    Painted marks are geometrically invisible (they live ON the ground
+    plane), so this producer keys on the retro-reflective intensity
+    channel of the SCAN — the map layer's voxel statistics carry only
+    geometry moments.  Ground-height returns at paint-level intensity are
+    clustered by 2-D grid connectivity; each cluster's principal xy axis
+    gives the segment endpoints, the transverse spread its width.
+
+    Returns (M, 7): endpoint0 xyz, endpoint1 xyz, width.
+    """
+    sel = (np.asarray(mask, bool)
+           & (np.asarray(intensity, np.float32) >= high_intensity)
+           & (np.abs(pts[:, 2] - ground_z) <= max_height))
+    p = np.asarray(pts, np.float32)[sel]
+    if len(p) < min_points:
+        return np.zeros((0, 7))
+    cell = np.floor(p[:, :2] / voxel_size).astype(np.int64)
+    uniq, inv = np.unique(cell, axis=0, return_inverse=True)
+    labels = _connected_components(uniq)
+    marks = []
+    for lab in np.unique(labels):
+        member = np.isin(inv, np.nonzero(labels == lab)[0])
+        if member.sum() < min_points:
+            continue
+        mp = p[member]
+        center = mp.mean(0)
+        d = mp[:, :2] - center[:2]
+        covm = d.T @ d / len(d)
+        w, v = np.linalg.eigh(covm)
+        u = v[:, 1]                       # principal xy direction
+        proj = d @ u
+        length = float(proj.max() - proj.min())
+        if length < min_length:
+            continue
+        width = float(4.0 * np.sqrt(max(w[0], 0.0)))   # ±2σ transverse
+        e0 = np.array([center[0] + proj.min() * u[0],
+                       center[1] + proj.min() * u[1], center[2]])
+        e1 = np.array([center[0] + proj.max() * u[0],
+                       center[1] + proj.max() * u[1], center[2]])
+        marks.append(np.concatenate([e0, e1, [width]]))
+    return np.asarray(marks).reshape(-1, 7)
+
+
 def extract_landmarks(patch, voxel_size: float) -> Landmarks:
-    """Run all extractors over a MapPatchData's voxel statistics."""
+    """Run all map-statistics extractors over a MapPatchData's voxel
+    statistics (ground marks come from scans — see extract_ground_marks —
+    because paint is an intensity feature the geometry moments cannot
+    see)."""
     count = patch.count
     denom = np.maximum(count, 1.0)[:, None]
     centers = (patch.coords + 0.5) * voxel_size
@@ -198,4 +342,6 @@ def extract_landmarks(patch, voxel_size: float) -> Landmarks:
     lm = Landmarks.empty()
     lm.posts = extract_posts(patch.coords, count, mean, cov, voxel_size)
     lm.planes = extract_planes(patch.coords, count, mean, cov, voxel_size)
+    lm.cplx_meta, lm.cplx_offsets, lm.cplx_points = extract_complexes(
+        patch.coords, count, mean, cov, voxel_size)
     return lm

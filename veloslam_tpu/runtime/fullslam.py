@@ -170,18 +170,21 @@ class FullSlam(odo.StreamingOdometry):
                  kf_capacity: int = 512, kf_scan_points: int = 8192,
                  kf_dist_m: float = 2.0, kf_rot_deg: float = 10.0,
                  use_pallas: bool = False, use_dense: bool = False,
-                 reassociate_every: int = 1):
+                 reassociate_every: int = 1, frame_rate_hz: float = 10.0):
         super().__init__(calib, model=model, n_beams=n_beams,
                          voxel_size=voxel_size, reg_points=reg_points,
                          reg_iterations=reg_iterations,
                          map_capacity=map_capacity, max_frames=max_frames,
                          batched=True, use_pallas=use_pallas,
                          use_dense=use_dense,
-                         reassociate_every=reassociate_every)
-        self.kf_scan_points = kf_scan_points
+                         reassociate_every=reassociate_every,
+                         frame_rate_hz=frame_rate_hz)
+        # Keyframe scans are a prefix of the registration point set, so
+        # the ring cannot store more points than registration sampled.
+        self.kf_scan_points = min(kf_scan_points, reg_points)
         self.kf_dist_m = float(kf_dist_m)
         self.kf_rot_rad = float(np.deg2rad(kf_rot_deg))
-        self.ring = KeyframeRing.init(kf_capacity, kf_scan_points)
+        self.ring = KeyframeRing.init(kf_capacity, self.kf_scan_points)
 
     def feed(self, pkts, times_us, track_window) -> None:
         track_window = self._pad_window(track_window)
@@ -263,7 +266,8 @@ class FullSlam(odo.StreamingOdometry):
         # Size the ring for the recording (worst case: every frame is a
         # keyframe) BEFORE streaming — growing mid-stream would recompile
         # the fused step.
-        est = int(len(pkts) / odo.packets_per_second(self.model) * 12.0) + 8
+        est = int(len(pkts) / odo.packets_per_second(self.model)
+                  * self.frame_rate_hz * 1.2) + 8
         self.ensure_kf_capacity(est)
         super().run_device(pkts, times_us, track, batch=batch)
 

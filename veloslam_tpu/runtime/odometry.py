@@ -501,9 +501,15 @@ class StreamingOdometry:
                  fused: bool = True, batched: bool = False,
                  use_pallas: bool = False, use_dense: bool = False,
                  reassociate_every: int = 1,
-                 sample_assembly: bool = None):
+                 sample_assembly: bool = None,
+                 frame_rate_hz: float = 10.0):
         self.calib = calib
         self.model = model
+        # Revolution rate (rpm / 60): sizes frame slots per batch and the
+        # trajectory buffers.  The sensor spins at a configured rpm
+        # (SensorConfig.rpm; reference HDLManager.h:108 assumes 600), so
+        # a 1200-rpm capture completes 20 frames/s, not 10.
+        self.frame_rate_hz = float(frame_rate_hz)
         self.n_beams = n_beams
         self.reg_points = reg_points
         self.reg_iterations = reg_iterations
@@ -588,7 +594,8 @@ class StreamingOdometry:
         if len(pkts) == 0:
             return
         # Frame slots per dispatch must cover the batch's revolutions.
-        need = slots_for_batch(self.model, batch)
+        need = slots_for_batch(self.model, batch,
+                               frame_rate_hz=self.frame_rate_hz)
         if need > self.MAX_FRAMES_BATCH:
             self.MAX_FRAMES_BATCH = need
             self._slot_idx = [jnp.asarray(k, jnp.int32)
@@ -598,7 +605,8 @@ class StreamingOdometry:
         # rounded up to a 1024 bucket so nearby recording lengths share
         # one compiled program (shape-stable across e.g. a short warm
         # drive and the measured drive).
-        need_cap = (int(len(pkts) / packets_per_second(self.model) * 12.0)
+        need_cap = (int(len(pkts) / packets_per_second(self.model)
+                        * self.frame_rate_hz * 1.2)
                     + 2 * self.MAX_FRAMES_BATCH + 16)
         self.ensure_capacity(-(-need_cap // 1024) * 1024)
         tail = len(pkts) % batch
