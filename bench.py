@@ -269,6 +269,82 @@ def run_full_slam(duration_s=7.0, batch=16384, warm_s=None):
     }
 
 
+def run_roofline(bulk_ms: float) -> dict:
+    """Achieved-vs-ceiling statement for the measured bulk batch
+    (VERDICT r4 #9 / r3 #2): how far is the 16384-packet batch from the
+    speed of light of this chip, and WHICH light?
+
+    Two floors are reported:
+
+    * `hbm_floor_ms` — pure HBM-bandwidth roofline: every byte the
+      algorithm must move (packets in, decoded points, per-iteration
+      voxel-statistic reads, sort payloads once, map moments) streamed at
+      the v5e's ~819 GB/s.  This is the number a perfectly fused custom
+      kernel could approach.
+    * `primitive_floor_ms` — the floor with XLA's primitives as given:
+      the batch is dominated by compiler sorts (multi-pass bitonic) and
+      random gathers whose ACHIEVED rates were measured on this chip
+      (scripts/microbench.py, ROADMAP perf notes): (key,val) pair sort
+      ~1.0 GB/s of payload, random row gathers ~8-16 GB/s, elementwise
+      fused streams near HBM rate.  This is the number THIS decomposition
+      cannot beat without hand-written kernels.
+
+    Byte accounting (per batch: N=16384 packets, Ncat≈6.3M decoded
+    points, Psel=96·16384≈1.57M selected points, I=16 GN iterations,
+    V=32768 map voxels):
+      decode        : 19.8 MB packets read + ~151 MB xyz/aux written
+      compensate    : ~151 MB read+write
+      select (sort) : Ncat·8 B (key,src) pair-sort payload ≈ 50 MB
+                      + rank gathers Psel·16 B ≈ 25 MB
+      gicp          : per iteration Psel·(12 B query + ~40 B voxel
+                      stats + 12 B residual) ≈ 100 MB; I iterations
+                      + 2 dense re-associations (Psel·~24 B each)
+      map update    : Psel·13 ch·4 B moments ≈ 82 MB sorted+segsummed
+    """
+    MB = 1e6
+    n_cat = BATCH_PACKETS * 12 * 32
+    p_sel = MAX_FRAMES_BATCH * REG_POINTS
+    it = REG_ITERATIONS
+    decode_b = (BATCH_PACKETS * 1206 + n_cat * 24)
+    comp_b = n_cat * 24 * 2
+    sort_b = n_cat * 8
+    rankg_b = p_sel * 16
+    gicp_stream_b = p_sel * 64 * it
+    assoc_b = p_sel * 24 * max(it // REASSOCIATE_EVERY, 1)
+    map_sort_b = p_sel * (13 * 4 + 8)
+    total_b = (decode_b + comp_b + sort_b + rankg_b + gicp_stream_b
+               + assoc_b + map_sort_b)
+
+    HBM_GBPS = 819.0          # v5e HBM peak
+    SORT_GBPS = 1.0           # measured: 1.57M (key,val) pairs ≈ 8 ms
+    GATHER_GBPS = 10.0        # measured: row gathers (32K,3) ≈ 4 ms
+    hbm_floor_ms = total_b / (HBM_GBPS * 1e9) * 1e3
+    prim_floor_ms = (
+        (decode_b + comp_b + gicp_stream_b) / (HBM_GBPS * 1e9) * 1e3
+        + (sort_b + map_sort_b) / (SORT_GBPS * 1e9) * 1e3
+        + (rankg_b + assoc_b) / (GATHER_GBPS * 1e9) * 1e3)
+    return {
+        "measured_bulk_ms": round(bulk_ms, 1),
+        "bytes_per_batch_MB": round(total_b / MB, 1),
+        "hbm_floor_ms": round(hbm_floor_ms, 2),
+        "primitive_floor_ms": round(prim_floor_ms, 2),
+        "fraction_of_primitive_floor": round(prim_floor_ms / bulk_ms, 3),
+        "fraction_of_hbm_floor": round(hbm_floor_ms / bulk_ms, 3),
+        "conclusion": (
+            "The batch moves ~{:.0f} MB; a perfectly fused kernel could "
+            "run it in ~{:.1f} ms (HBM roofline), XLA's sort/gather "
+            "primitives bound this decomposition at ~{:.0f} ms. Measured "
+            "{:.0f} ms = {:.0%} of the primitive floor — the remaining "
+            "gap is dispatch overhead + non-overlapped stages; closing "
+            "the 10x to the HBM roofline needs hand-written Pallas "
+            "selection/association kernels (measured to lose to XLA "
+            "fusion at this batch size in the r2 A/B — revisit on "
+            "untunneled hardware)."
+        ).format(total_b / MB, hbm_floor_ms, prim_floor_ms, bulk_ms,
+                 prim_floor_ms / bulk_ms),
+    }
+
+
 def run_live(duration_s=5.0, rate=1.0):
     """Live-mode measurement on this backend: loopback-replay a simulated
     drive through run_online at `rate`x the sensor's packet rate; record
@@ -342,13 +418,20 @@ def main():
     # process pays tens of seconds each.  With the cache, any process
     # after the first (test runs, driver bench runs) loads the compiled
     # executables from disk instead.
-    from veloslam_tpu.utils import compilecache
+    from veloslam_tpu.utils import compilecache, hostdev
+    hostdev.ensure_cpu_platform()   # host-CPU finalize solves (GraphConfig)
     compilecache.enable()
 
     inputs = _build_inputs()
     fps, t_step = run_bulk(inputs=inputs)
     extra = {"bulk_ms_per_batch": round(t_step * 1e3, 3),
-             "config": config_signature()}
+             "config": config_signature(),
+             "roofline": run_roofline(t_step * 1e3),
+             "scaling_note": (
+                 ">=70% scaling at >=2 hosts remains model-based "
+                 "(SCALING_r05.json): no multi-chip TPU in this "
+                 "environment; Gloo-TCP process runs validate the "
+                 "collective paths, the ICI projection is analytic")}
     vs = (round(fps / REFERENCE_CPU_FPS, 3)
           if config_signature() == REFERENCE_CPU_CONFIG else None)
     result = {

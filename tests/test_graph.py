@@ -112,6 +112,57 @@ def test_landmark_schur_solve():
     assert np.median(lm_err) < 0.05, lm_err
 
 
+def test_landmark_residual_trim_removes_outlier_observations():
+    """VERDICT r4 #2: cross-association outliers are bounded by Huber
+    but stay in the system; trim_observations at the solved state must
+    disable exactly them, and the re-solve must beat the polluted one."""
+    rng = np.random.default_rng(11)
+    n = 12
+    g, true = _noisy_circle_graph(rng, n=n, drift=0.02, yaw_drift=0.005,
+                                  max_poses=16, max_edges=32)
+    true_lm = rng.uniform(-25, 25, (6, 3)).astype(np.float32)
+    for m in range(6):
+        g.add_landmark(true_lm[m] + rng.normal(0, 0.3, 3))
+    n_clean = 0
+    for k in range(n):
+        for m in range(6):
+            z = np.asarray(se3.apply(se3.inverse(true[k]),
+                                     jnp.asarray(true_lm[m])))
+            g.add_observation(k, m, z + rng.normal(0, 0.02, 3),
+                              info=(25.0,) * 3)
+            n_clean += 1
+    # Cross-associations: observations of landmark 0 that actually came
+    # from a point ~3 m away (beyond any Huber recovery).
+    n_bad = 0
+    for k in range(0, n, 3):
+        z = np.asarray(se3.apply(se3.inverse(true[k]),
+                                 jnp.asarray(true_lm[0]
+                                             + np.float32([3.0, 2.0, 0]))))
+        g.add_observation(k, 0, z, info=(25.0,) * 3)
+        n_bad += 1
+
+    out, _ = optimize.solve_with_landmarks(
+        g.arrays(), max_poses=g.K, max_landmarks=g.M, iterations=10)
+    g.update_from(np.asarray(out.q)[:g.n_poses],
+                  np.asarray(out.t)[:g.n_poses],
+                  np.asarray(out.l_pos)[:g.n_landmarks])
+    ate_polluted = _ate(g, true)
+
+    n_trimmed = g.trim_observations(1.0)
+    assert n_trimmed == n_bad, (n_trimmed, n_bad)       # outliers only
+    assert g.o_ok[:g.n_obs].sum() == n_clean
+    out, _ = optimize.solve_with_landmarks(
+        g.arrays(), max_poses=g.K, max_landmarks=g.M, iterations=10)
+    g.update_from(np.asarray(out.q)[:g.n_poses],
+                  np.asarray(out.t)[:g.n_poses],
+                  np.asarray(out.l_pos)[:g.n_landmarks])
+    assert _ate(g, true) < ate_polluted
+    assert _ate(g, true) < 0.05
+    # and the save/load contract keeps the mask
+    rn = g.obs_residual_norms()
+    assert rn.shape == (g.n_obs,)
+
+
 def test_find_candidates():
     # square loop: keyframes along a square path, returning near start
     pos = []

@@ -171,6 +171,21 @@ class GraphConfig:
     # — the old 25 (sigma 0.2 m) over-trusted them enough to fight
     # accurate loop closures.
     landmark_obs_info: float = 8.0
+    # Residual trim: after the first landmark solve, observations whose
+    # residual exceeds this are disabled and the graph re-solved once —
+    # cross-association outliers (two posts within the cluster radius,
+    # or a wall corner detected as a post) sit far outside the ~0.35 m
+    # detection noise, and the Huber weight only bounds their influence.
+    # 0 disables.
+    landmark_trim_residual_m: float = 1.0
+    # Placement of the END-OF-SESSION graph solves: the post-readback
+    # finalize solves are a few hundred KB of math, and on a high-latency
+    # accelerator link (the tunneled backend) each device call costs more
+    # than the solve itself — route small graphs to the host CPU backend
+    # when one is registered (utils/hostdev).  Above the pose bound the
+    # accelerator wins again (matrix-free PCG at 16k poses).
+    host_solve: bool = True
+    host_solve_max_poses: int = 4096
 
 
 @dataclasses.dataclass(frozen=True)

@@ -78,6 +78,7 @@ class PoseGraph:
         self.o_l = np.zeros(self.O, np.int32)
         self.o_z = np.zeros((self.O, 3), np.float32)
         self.o_info = np.zeros((self.O, 3), np.float32)
+        self.o_ok = np.ones(self.O, bool)   # residual-trim mask
         self.n_obs = 0
 
     # --- construction ------------------------------------------------------
@@ -116,6 +117,9 @@ class PoseGraph:
         self.o_l = self._grow(self.o_l, O2)
         self.o_z = self._grow(self.o_z, O2)
         self.o_info = self._grow(self.o_info, O2)
+        ok = np.ones(O2, bool)
+        ok[:len(self.o_ok)] = self.o_ok
+        self.o_ok = ok
         self.O = O2
 
     def add_pose(self, q, t) -> int:
@@ -166,17 +170,22 @@ class PoseGraph:
         e_valid[:self.n_edges] = True
         o_valid = np.zeros(self.O, bool)
         o_valid[:self.n_obs] = True
+        o_valid &= self.o_ok
+        # NUMPY leaves: the caller's jit decides placement (host-CPU
+        # finalize solves vs accelerator PCG — runtime/pipeline
+        # _solve_device_ctx); eager jnp.asarray here would pin every
+        # solve's inputs to the default backend.
         return GraphArrays(
-            q=jnp.asarray(self.q), t=jnp.asarray(self.t),
-            n_poses=jnp.asarray(self.n_poses, jnp.int32),
-            e_i=jnp.asarray(self.e_i), e_j=jnp.asarray(self.e_j),
-            e_q=jnp.asarray(self.e_q), e_t=jnp.asarray(self.e_t),
-            e_info=jnp.asarray(self.e_info), e_valid=jnp.asarray(e_valid),
-            l_pos=jnp.asarray(self.l_pos),
-            n_landmarks=jnp.asarray(self.n_landmarks, jnp.int32),
-            o_i=jnp.asarray(self.o_i), o_l=jnp.asarray(self.o_l),
-            o_z=jnp.asarray(self.o_z), o_info=jnp.asarray(self.o_info),
-            o_valid=jnp.asarray(o_valid))
+            q=np.array(self.q), t=np.array(self.t),
+            n_poses=np.int32(self.n_poses),
+            e_i=np.array(self.e_i), e_j=np.array(self.e_j),
+            e_q=np.array(self.e_q), e_t=np.array(self.e_t),
+            e_info=np.array(self.e_info), e_valid=e_valid,
+            l_pos=np.array(self.l_pos),
+            n_landmarks=np.int32(self.n_landmarks),
+            o_i=np.array(self.o_i), o_l=np.array(self.o_l),
+            o_z=np.array(self.o_z), o_info=np.array(self.o_info),
+            o_valid=o_valid)
 
     def update_from(self, q: np.ndarray, t: np.ndarray,
                     l_pos: np.ndarray = None) -> None:
@@ -189,6 +198,43 @@ class PoseGraph:
     def poses(self) -> Tuple[np.ndarray, np.ndarray]:
         return self.q[:self.n_poses], self.t[:self.n_poses]
 
+    def obs_residual_norms(self) -> np.ndarray:
+        """Per-observation residual |R_iᵀ(l − t_i) − z| at the CURRENT
+        state (numpy twin of optimize._obs_residual at zero deltas)."""
+        n = self.n_obs
+        if n == 0:
+            return np.zeros(0, np.float32)
+        qi = self.q[self.o_i[:n]].astype(np.float64)
+        w, x, y, z = qi[:, 0], qi[:, 1], qi[:, 2], qi[:, 3]
+        # Rows of R_iᵀ (= columns of R_i).
+        d = self.l_pos[self.o_l[:n]].astype(np.float64) \
+            - self.t[self.o_i[:n]].astype(np.float64)
+        lx = (1 - 2 * (y * y + z * z)) * d[:, 0] \
+            + 2 * (x * y + w * z) * d[:, 1] + 2 * (x * z - w * y) * d[:, 2]
+        ly = 2 * (x * y - w * z) * d[:, 0] \
+            + (1 - 2 * (x * x + z * z)) * d[:, 1] \
+            + 2 * (y * z + w * x) * d[:, 2]
+        lz = 2 * (x * z + w * y) * d[:, 0] + 2 * (y * z - w * x) * d[:, 1] \
+            + (1 - 2 * (x * x + y * y)) * d[:, 2]
+        r = np.stack([lx, ly, lz], -1) - self.o_z[:n].astype(np.float64)
+        return np.linalg.norm(r, axis=-1).astype(np.float32)
+
+    def trim_observations(self, max_residual_m: float) -> int:
+        """Disable observations whose residual at the current (solved)
+        state exceeds `max_residual_m` — the cross-association outliers
+        the Huber weight bounds but cannot remove (VERDICT r4 #2: 137
+        raw post observations dragged the bench-loop ATE 0.105 → 0.137).
+        Returns the number newly disabled; arrays()/solves then see them
+        as invalid.  Irreversible by design (a re-association pass would
+        re-add them as fresh observations)."""
+        n = self.n_obs
+        if n == 0:
+            return 0
+        rn = self.obs_residual_norms()
+        bad = (rn > max_residual_m) & self.o_ok[:n]
+        self.o_ok[:n] &= ~bad
+        return int(bad.sum())
+
     # --- persistence (checkpoint/resume contract) --------------------------
 
     def save(self, path: str) -> None:
@@ -199,6 +245,7 @@ class PoseGraph:
                  l_pos=self.l_pos[:self.n_landmarks],
                  o_i=self.o_i[:self.n_obs], o_l=self.o_l[:self.n_obs],
                  o_z=self.o_z[:self.n_obs], o_info=self.o_info[:self.n_obs],
+                 o_ok=self.o_ok[:self.n_obs],
                  caps=np.asarray([self.K, self.E, self.M, self.O]))
 
     @classmethod
@@ -220,6 +267,8 @@ class PoseGraph:
         no = len(d["o_i"])
         g.o_i[:no], g.o_l[:no] = d["o_i"], d["o_l"]
         g.o_z[:no], g.o_info[:no] = d["o_z"], d["o_info"]
+        if "o_ok" in d:           # older checkpoints predate the mask
+            g.o_ok[:no] = d["o_ok"]
         g.n_obs = no
         return g
 

@@ -45,6 +45,14 @@ from veloslam_tpu.graph import optimize
 from veloslam_tpu.registration import gicp
 
 
+# Correspondence re-association period inside closure VERIFICATION
+# registrations (module constant so accuracy probes can A/B it against
+# the r3 per-iteration behavior; production default matches the odometry
+# schedule — the verify starts from the coarse pose, so correspondences
+# are stable across consecutive iterations).
+VERIFY_REASSOCIATE_EVERY = 4
+
+
 class Candidates(NamedTuple):
     i: jax.Array        # (C,) int32
     j: jax.Array        # (C,) int32
@@ -168,7 +176,7 @@ def _lam_min_per_match(H: jax.Array, n_matched: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=(
     "voxel_size", "capacity", "iterations", "max_mean_error",
     "min_matches", "obs_accept", "obs_reject", "max_cycle_t",
-    "max_cycle_rot_deg"))
+    "max_cycle_rot_deg", "reassociate_every"))
 def verify_closures_device(ring_pts: jax.Array, ring_msk: jax.Array,
                            cand: Candidates, *,
                            voxel_size: float = 1.0, capacity: int = 16384,
@@ -178,7 +186,8 @@ def verify_closures_device(ring_pts: jax.Array, ring_msk: jax.Array,
                            obs_accept: float = 0.75,
                            obs_reject: float = 0.10,
                            max_cycle_t: float = 0.3,
-                           max_cycle_rot_deg: float = 2.0):
+                           max_cycle_rot_deg: float = 2.0,
+                           reassociate_every: int = 4):
     """Pure-device batched closure verification: same accept gates as
     graph/loopclosure.verify_closures_batch (tightness + self-normalized
     observability + reciprocal consistency), but with the reverse pass run
@@ -215,7 +224,7 @@ def verify_closures_device(ring_pts: jax.Array, ring_msk: jax.Array,
     # dominant cost of the sweep.
     res = gicp.register_batch(pts_j, msk_j, grids_i, res_c.pose,
                               iterations=iterations, share_target=False,
-                              reassociate_every=4)
+                              reassociate_every=reassociate_every)
     H_self, _, _, n_self = jax.vmap(
         lambda p, m, g: gicp.normal_equations(p, m, se3.Pose.identity(), g)
     )(pts_i, msk_i, grids_i)
@@ -234,7 +243,7 @@ def verify_closures_device(ring_pts: jax.Array, ring_msk: jax.Array,
     inv = jax.vmap(se3.inverse)(res.pose)
     bwd = gicp.register_batch(pts_i, msk_i, grids_j, inv,
                               iterations=iterations, share_target=False,
-                              reassociate_every=4)
+                              reassociate_every=reassociate_every)
     comp = jax.vmap(se3.compose)(res.pose, bwd.pose)
     cyc_t = jnp.linalg.norm(comp.t, axis=-1)
     cyc_r = 2.0 * jnp.arccos(jnp.clip(jnp.abs(comp.q[:, 0]), 0.0, 1.0))

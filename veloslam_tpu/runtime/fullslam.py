@@ -292,7 +292,8 @@ class FullSlam(odo.StreamingOdometry):
             use_scan_context=bool(use_scan_context))
         meas_q, meas_t, accept = dv.verify_closures_device(
             r.pts, r.msk, cand, voxel_size=float(voxel_size),
-            capacity=int(capacity))
+            capacity=int(capacity),
+            reassociate_every=dv.VERIFY_REASSOCIATE_EVERY)
         (solved_q, solved_t, traj_q, traj_t, n_acc, stats, rel_q,
          rel_t) = dv.solve_and_correct(
             r.q, r.t, r.time_rel_s, r.n, cand, meas_q, meas_t, accept,

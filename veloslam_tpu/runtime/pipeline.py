@@ -463,6 +463,15 @@ class SlamPipeline:
             host["kf_pts"] = np.asarray(r.pts[:n_kf_early])
             host["kf_msk"] = np.asarray(r.msk[:n_kf_early])
             host["kf_desc"] = np.asarray(r.desc[:n_kf_early])
+        return self._mirror_device_results(eng, host, defer_map=defer_map)
+
+    def _mirror_device_results(self, eng, host, defer_map: bool = False
+                               ) -> Dict:
+        """Mirror an already-transferred device-finalize dict into the
+        host bookkeeping (split from the readback so measurement harnesses
+        and alternative transfer paths can reuse the exact production
+        loop)."""
+        gc = self.cfg.graph
         t0 = eng._stream_t0_us or 0
         n_frames = int(host["n_frames"])
         n_kf = int(host["kf_n"])
@@ -982,14 +991,33 @@ class SlamPipeline:
             o_z=arrays.o_z[:Oc], o_info=arrays.o_info[:Oc],
             o_valid=arrays.o_valid[:Oc]), Mc
 
+    def _solve_device_ctx(self, n_poses: int):
+        """Placement context for the end-of-session graph solves: small
+        graphs run on the host CPU backend when one is registered
+        (GraphConfig.host_solve) — post-readback device calls on a
+        high-latency link cost more than the solve itself (VERDICT r4
+        #3: 1.63 s of tunnel round-trips for ~10 ms of math)."""
+        import contextlib
+        gc = self.cfg.graph
+        if (not gc.host_solve or n_poses > gc.host_solve_max_poses
+                or jax.default_backend() == "cpu"):
+            return contextlib.nullcontext()
+        from veloslam_tpu.utils import hostdev
+        dev = hostdev.cpu_device()
+        if dev is None:
+            return contextlib.nullcontext()
+        return jax.default_device(dev)
+
     def _solve_graph(self, arrays):
         """Pose-graph solve primitive (overridden by the distributed
         session to run the edge-sharded psum solver over the mesh)."""
         from veloslam_tpu.graph import pcg
         Kc, cropped, _ = self._crop_graph(
             arrays, self.graph.n_poses, 0, self.graph.n_edges, 0)
-        out, _ = pcg.solve_auto(cropped, max_poses=Kc,
-                                iterations=self.cfg.graph.gn_iterations)
+        with self._solve_device_ctx(self.graph.n_poses):
+            out, _ = pcg.solve_auto(
+                cropped, max_poses=Kc,
+                iterations=self.cfg.graph.gn_iterations)
         return out
 
     def _solve_graph_landmarks(self, arrays):
@@ -1001,9 +1029,10 @@ class SlamPipeline:
         Kc, cropped, Mc = self._crop_graph(
             arrays, self.graph.n_poses, self.graph.n_landmarks,
             self.graph.n_edges, self.graph.n_obs)
-        out, _ = pcg.solve_auto_landmarks(
-            cropped, max_poses=Kc, max_landmarks=Mc,
-            iterations=self.cfg.graph.gn_iterations)
+        with self._solve_device_ctx(self.graph.n_poses):
+            out, _ = pcg.solve_auto_landmarks(
+                cropped, max_poses=Kc, max_landmarks=Mc,
+                iterations=self.cfg.graph.gn_iterations)
         return out
 
     def _integrate_scan(self, pts_world: np.ndarray, mask: np.ndarray,
@@ -1379,6 +1408,18 @@ class SlamPipeline:
                         np.asarray(out.q)[:self.graph.n_poses],
                         np.asarray(out.t)[:self.graph.n_poses],
                         np.asarray(out.l_pos)[:self.graph.n_landmarks])
+                    # Outlier trim + one re-solve: Huber bounds the
+                    # influence of cross-associations but keeps them in
+                    # the system; at the solved state they are separable
+                    # by residual (config.landmark_trim_residual_m).
+                    trim = self.cfg.graph.landmark_trim_residual_m
+                    if trim > 0 and self.graph.trim_observations(trim):
+                        out = self._solve_graph_landmarks(
+                            self.graph.arrays())
+                        self.graph.update_from(
+                            np.asarray(out.q)[:self.graph.n_poses],
+                            np.asarray(out.t)[:self.graph.n_poses],
+                            np.asarray(out.l_pos)[:self.graph.n_landmarks])
                 else:
                     out = self._solve_graph(self.graph.arrays())
                     self.graph.update_from(
