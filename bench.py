@@ -7,8 +7,9 @@ Two configs, named honestly:
    odometry_step_batched) as ONE jitted device program per 16384-packet
    batch (≈90.6 HDL-32 revolutions): decode → INS motion compensation →
    frame assembly → vmapped scan-to-map point-to-plane GICP (96 slots ×
-   16384 pts × 16 GN iters vs the rolling 32768-voxel map) → map merge
-   with decay + rebase check.  No keyframes/closures — pure odometry.
+   16384 pts × 16 GN iters vs the rolling 65536-row 0.5 m-voxel map) →
+   map merge with decay + rebase check.  No keyframes/closures — pure
+   odometry.
 
 2. `full_slam_frames_per_s` (in `extra`): END-TO-END
    SlamPipeline.run_offline_batched + finalize() on a simulated loop
@@ -58,7 +59,8 @@ HDL32_PACKETS_PER_SECOND = 1e6 / 46.08 / 12      # ≈ 1808.4
 FRAMES_PER_BATCH = BATCH_PACKETS / HDL32_PACKETS_PER_SECOND * 10.0
 REG_POINTS = 16384
 REG_ITERATIONS = 16
-MAP_CAPACITY = 32768
+MAP_CAPACITY = 65536         # rolling-map rows (production r5: 0.5 m voxels)
+VOXEL_SIZE = 0.5
 REASSOCIATE_EVERY = 8
 SAMPLE_ASSEMBLY = True
 
@@ -74,17 +76,18 @@ SAMPLE_ASSEMBLY = True
 # (the JAX_PLATFORMS env var is overridden by the session's sitecustomize
 # hook and the config.update ran too late), so r3's vs_baseline=0.93
 # compared the chip against itself.  The honest single-core number for
-# the current program is 17.7 fps (5.13 s/batch).
-REFERENCE_CPU_FPS = 17.657
-REFERENCE_CPU_CONFIG = ("pkts16384-slots96-pts16384-iters16-map32768"
-                        "-dense-ra8-sampled")
+# the current program (r5: 0.5 m voxels, 65536-row map) is 22.5 fps
+# (4.03 s/batch); the r4 1.0 m-voxel config measured 17.7 fps.
+REFERENCE_CPU_FPS = 22.495
+REFERENCE_CPU_CONFIG = ("pkts16384-slots96-pts16384-iters16-map65536"
+                        "-vox0.5-dense-ra8-sampled")
 
 
 def config_signature() -> str:
     samp = "-sampled" if SAMPLE_ASSEMBLY else ""
     return (f"pkts{BATCH_PACKETS}-slots{MAX_FRAMES_BATCH}-pts{REG_POINTS}"
-            f"-iters{REG_ITERATIONS}-map{MAP_CAPACITY}-dense"
-            f"-ra{REASSOCIATE_EVERY}{samp}")
+            f"-iters{REG_ITERATIONS}-map{MAP_CAPACITY}-vox{VOXEL_SIZE}"
+            f"-dense-ra{REASSOCIATE_EVERY}{samp}")
 
 
 class Budget:
@@ -168,6 +171,7 @@ def run_bulk(iters=4, warmup=1, batch_packets=BATCH_PACKETS,
     (pkts, calib, rel_s, track_rel, track_q, track_t,
      track_v) = inputs or _build_inputs(batch_packets=batch_packets)
     state = odo.init_state(32, map_capacity=MAP_CAPACITY,
+                           voxel_size=VOXEL_SIZE,
                            sample_assembly=sample_assembly)
     zero = jnp.asarray(0.0, jnp.float32)
     step = functools.partial(

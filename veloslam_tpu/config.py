@@ -82,9 +82,18 @@ class RegistrationConfig:
     # over voxels not points), or "ndt" (point-to-distribution,
     # registration.ndt).
     method: str = "gicp"
-    voxel_size: float = 1.0
+    # Odometry voxel size: 0.5 m halves the Gaussian-mixing radius of
+    # each plane patch — measured on the bench loop the 1.0 m default
+    # was the odometry noise floor (ATE 0.137 / RPE10 0.174 at 1.0 m vs
+    # 0.041 / 0.062 at 0.5 m, same drive, same iterations).  The rolling
+    # map needs 2x the rows (rolling_map_capacity) and the dense-index
+    # window shrinks to ±0.5 m, so priors must stay within the basin
+    # (bootstrap ramp + constant-velocity correction extrapolation).
+    voxel_size: float = 0.5
     # Fixed voxel-table capacity per scan (static shape for jit).
     scan_voxel_capacity: int = 8192
+    # Rolling odometry map rows (runtime/odometry OdometryState).
+    rolling_map_capacity: int = 65536
     max_iterations: int = 16
     # Levenberg damping added to the 6x6 normal equations.
     damping: float = 1e-6
@@ -119,6 +128,11 @@ class RegistrationConfig:
     # correspondence set is stable across consecutive iterations, so k=8
     # keeps two association passes per 16-iteration solve.
     reassociate_every: int = 8
+    # Rolling-map forgetting factor per frame: voxel counts decay by this
+    # before each scan merge, so stale geometry fades and the fixed-
+    # capacity grid follows the vehicle.  Closer to 1 = a stabler anchor
+    # (less odometry noise), further = faster adaptation to scene change.
+    map_decay: float = 0.98
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,6 +165,13 @@ class GraphConfig:
     # Verification budget per sweep (geometric GICP verify is the cost);
     # candidates beyond the cap stay pending and retry next sweep.
     max_closure_candidates_per_sweep: int = 8
+    # Closure-VERIFICATION voxel size, decoupled from the odometry voxel
+    # (registration.voxel_size): verification needs a wide convergence
+    # basin — its coarse pass runs at 4x this, and the appearance
+    # channel's priors carry zero translation, so genuine revisits sit
+    # meters off.  Halving this with the odometry voxel (r5's 0.5 m)
+    # measurably broke figure-8 double-revisit closure quality.
+    verify_voxel_m: float = 1.0
     keyframes_per_closure_sweep: int = 10  # sweep cadence (keyframes)
     # Edge information diagonals (rot×3, trans×3).  ANISOTROPY MATTERS:
     # INS attitude is far more trustworthy than drifting position, and

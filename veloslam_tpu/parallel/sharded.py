@@ -143,22 +143,25 @@ def _register_program(mesh: Mesh, iterations: int, damping: float,
             dense = None
 
         def assoc_global(pose):
-            """Shard-local nearest + one all_gather → global nearest
+            """Shard-local nearest + ONE all_gather → global nearest
             (μ, n, hit) per point, identical on every device.  A point
             near a shard boundary may have candidate voxels in several
             shards; picking the global distance-argmin reproduces the
-            single-device oracle's nearest-mean choice exactly."""
+            single-device oracle's nearest-mean choice exactly.  The
+            candidate fields ride one packed (P, 8) f32 payload — one
+            collective per association block, not four (each Gloo-TCP
+            collective costs ~ms of latency regardless of size)."""
             mu, n, hit0 = gicp.associate(pts_, mask_, pose, shard,
                                          dense, approx_centers=False)
             p = se3.apply(pose, pts_)
             d2 = jnp.where(hit0, jnp.sum((p - mu) ** 2, -1), jnp.inf)
-            allmu = jax.lax.all_gather(mu, "map")        # (S, P, 3)
-            alln = jax.lax.all_gather(n, "map")
-            allhit = jax.lax.all_gather(hit0, "map")
-            alld2 = jax.lax.all_gather(d2, "map")
-            best = jnp.argmin(alld2, axis=0)             # (P,)
+            payload = jnp.concatenate(
+                [mu, n, d2[:, None], hit0[:, None].astype(mu.dtype)], -1)
+            allp = jax.lax.all_gather(payload, "map")    # (S, P, 8)
+            best = jnp.argmin(allp[..., 6], axis=0)      # (P,)
             pi = jnp.arange(pts_.shape[0])
-            return allmu[best, pi], alln[best, pi], allhit[best, pi]
+            sel = allp[best, pi]                         # (P, 8)
+            return sel[:, 0:3], sel[:, 3:6], sel[:, 7] > 0.5
 
         def gn_iter(state, mu, n, hit0):
             pose, _, _ = state

@@ -123,7 +123,7 @@ def _admit_keyframes(kf: KeyframeRing, slots: odo.SlotResults,
     "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
     "min_points", "min_planarity", "scan_points", "kf_dist_m",
     "kf_rot_rad", "use_pallas", "use_dense", "reassociate_every",
-    "sample_assembly"))
+    "sample_assembly", "map_decay"))
 def slam_step_batched(state: SlamState, pkts: jax.Array,
                       calib: DeviceCalib, pkt_rel_s: jax.Array,
                       carry_start_rel_s: jax.Array,
@@ -137,7 +137,8 @@ def slam_step_batched(state: SlamState, pkts: jax.Array,
                       kf_rot_rad: float = 0.1745,
                       use_pallas: bool = False, use_dense: bool = False,
                       reassociate_every: int = 1,
-                      sample_assembly: bool = False
+                      sample_assembly: bool = False,
+                      map_decay: float = 0.98
                       ) -> Tuple[SlamState, jax.Array]:
     """One fused device program: batched odometry + keyframe admission."""
     odom, open_start, slots = odo._batched_core(
@@ -148,7 +149,7 @@ def slam_step_batched(state: SlamState, pkts: jax.Array,
         min_points=min_points, min_planarity=min_planarity,
         use_pallas=use_pallas, use_dense=use_dense,
         reassociate_every=reassociate_every,
-        sample_assembly=sample_assembly)
+        sample_assembly=sample_assembly, map_decay=map_decay)
     kf = _admit_keyframes(state.kf, slots, batch_start_rel_stream_s,
                           scan_points=scan_points, kf_dist_m=kf_dist_m,
                           kf_rot_rad=kf_rot_rad)
@@ -170,7 +171,8 @@ class FullSlam(odo.StreamingOdometry):
                  kf_capacity: int = 512, kf_scan_points: int = 8192,
                  kf_dist_m: float = 2.0, kf_rot_deg: float = 10.0,
                  use_pallas: bool = False, use_dense: bool = False,
-                 reassociate_every: int = 1, frame_rate_hz: float = 10.0):
+                 reassociate_every: int = 1, frame_rate_hz: float = 10.0,
+                 map_decay: float = 0.98):
         super().__init__(calib, model=model, n_beams=n_beams,
                          voxel_size=voxel_size, reg_points=reg_points,
                          reg_iterations=reg_iterations,
@@ -178,7 +180,7 @@ class FullSlam(odo.StreamingOdometry):
                          batched=True, use_pallas=use_pallas,
                          use_dense=use_dense,
                          reassociate_every=reassociate_every,
-                         frame_rate_hz=frame_rate_hz)
+                         frame_rate_hz=frame_rate_hz, map_decay=map_decay)
         # Keyframe scans are a prefix of the registration point set, so
         # the ring cannot store more points than registration sampled.
         self.kf_scan_points = min(kf_scan_points, reg_points)
@@ -211,12 +213,13 @@ class FullSlam(odo.StreamingOdometry):
             model=self.model, n_beams=self.n_beams,
             reg_points=self.reg_points,
             reg_iterations=self.reg_iterations,
-            max_frames_batch=self.MAX_FRAMES_BATCH,
+            max_frames_batch=self._feed_slots or self.MAX_FRAMES_BATCH,
             scan_points=self.kf_scan_points, kf_dist_m=self.kf_dist_m,
             kf_rot_rad=self.kf_rot_rad,
             use_pallas=self.use_pallas, use_dense=self.use_dense,
             reassociate_every=self.reassociate_every,
-            sample_assembly=self.sample_assembly)
+            sample_assembly=self.sample_assembly,
+            map_decay=self.map_decay)
         self.state, self.ring = st.odom, st.kf
         self._open_start_dev = open_start
         self._open_anchor = anchor

@@ -46,6 +46,17 @@ from veloslam_tpu.decode.frames import (AssemblyCarry, SampleCarry,
 from veloslam_tpu.registration import gicp
 from veloslam_tpu.registration import voxel as vx
 
+# Lateral-observability gate on the rolling-map target (see the gates
+# below): registration output is trusted only when the map holds at least
+# this many usable voxels with a NON-HORIZONTAL normal (|n_z| < 0.7).  A
+# young map at subsampled density is mostly ground plane — an
+# xy-unconstrained target against which GN slides laterally ~0.4 m while
+# reporting thousands of matches.  Measured at 0.5 m voxels: a 1-scan map
+# of a sparse scene has 0 wall-ish usable voxels, a geometry-rich scene
+# has ~100 from the first scan (so rich scenes register immediately and
+# sparse ones wait the few scans they genuinely need).
+MIN_WALLISH_VOXELS = 30
+
 
 class OdometryState(NamedTuple):
     carry: AssemblyCarry
@@ -62,6 +73,18 @@ class OdometryState(NamedTuple):
     # map voxels inside the box; 1.0 when use_dense is off) — surfaces
     # silent window truncation on long/hilly drives (ADVICE r3).
     min_dense_cov: jax.Array = None
+    # Constant-velocity model of the INS correction: the correction is
+    # updated once per BATCH, so with a drifting INS the prior error of
+    # late-batch frames grows by drift_rate × batch_duration — past the
+    # ±1-voxel correspondence basin, registration degrades to the prior
+    # (measured: 0.35 m relative errors at 1 m/s drift, batch 1.1 s).
+    # Tracking d(corr_t)/dt between batch ends and extrapolating each
+    # slot's prior keeps the within-batch prior error ~(drift
+    # acceleration × dt²) instead of (drift rate × dt), at any batch
+    # size.  (corr_time values are stream-relative f32 seconds.)
+    corr_t_prev: jax.Array = None   # (3,)
+    corr_time: jax.Array = None     # ()
+    corr_time_prev: jax.Array = None  # ()
 
 
 def init_state(n_beams: int, *, map_capacity: int = 32768,
@@ -87,7 +110,10 @@ def init_state(n_beams: int, *, map_capacity: int = 32768,
         traj_time=jnp.zeros(max_frames, jnp.float32),
         n_frames=jnp.asarray(0, jnp.int32),
         have_map=jnp.asarray(False),
-        min_dense_cov=jnp.asarray(1.0, jnp.float32))
+        min_dense_cov=jnp.asarray(1.0, jnp.float32),
+        corr_t_prev=jnp.zeros(3, jnp.float32),
+        corr_time=jnp.asarray(0.0, jnp.float32),
+        corr_time_prev=jnp.asarray(0.0, jnp.float32))
 
 
 def _subsample(frame_xyz, frame_mask, n_out: int):
@@ -152,7 +178,8 @@ def _handle_frame(st: OdometryState, k, fb_xyz, fb_mask, starts, n_done,
                   batch_start_rel_stream_s, track_rel_s, track_q, track_t,
                   track_v, *, reg_points: int, reg_iterations: int,
                   min_points: int, min_planarity: float,
-                  reassociate_every: int = 1) -> OdometryState:
+                  reassociate_every: int = 1,
+                  map_decay: float = 0.98) -> OdometryState:
     """Register frame slot `k` (if k < n_done) and fold it into the state.
 
     Shared body of the fused `odometry_step` and the chained
@@ -176,8 +203,13 @@ def _handle_frame(st: OdometryState, k, fb_xyz, fb_mask, starts, n_done,
         res = gicp.register(pts_local, msk, target, prior,
                             iterations=reg_iterations,
                             reassociate_every=reassociate_every)
+        # Lateral-observability gate: see _batched_core (a young map is
+        # mostly ground plane and xy-unconstrained).
+        wallish = jnp.sum(target.usable
+                          & (jnp.abs(target.normal[:, 2]) < 0.7))
         healthy = (res.n_matched > 500) & jnp.all(
-            jnp.isfinite(res.pose.t)) & st.have_map
+            jnp.isfinite(res.pose.t)) & st.have_map \
+            & (wallish >= MIN_WALLISH_VOXELS)
         est = se3.Pose(jnp.where(healthy, res.pose.q, prior.q),
                        jnp.where(healthy, res.pose.t, prior.t))
 
@@ -191,10 +223,12 @@ def _handle_frame(st: OdometryState, k, fb_xyz, fb_mask, starts, n_done,
 
         # Merge the registered scan into the rolling map with decay.
         pts_world = se3.apply(est, pts_local)
+        # One frame occupies at most reg_points voxels; 8192 silently
+        # dropped overflow at sub-meter voxel sizes.
         scan_grid = vx.build_grid(pts_world, msk, st.map_grid.origin,
                                   st.map_grid.voxel_size,
-                                  capacity=8192)
-        decayed = st.map_grid._replace(count=st.map_grid.count * 0.98)
+                                  capacity=reg_points)
+        decayed = st.map_grid._replace(count=st.map_grid.count * map_decay)
         merged = vx.merge_stats(decayed, scan_grid,
                                 capacity=st.map_grid.capacity)
         return st._replace(
@@ -247,7 +281,7 @@ def frame_step(state: OdometryState, k: jax.Array, fb_xyz: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
-    "min_points", "min_planarity", "reassociate_every"))
+    "min_points", "min_planarity", "reassociate_every", "map_decay"))
 def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
                   pkt_rel_s: jax.Array, carry_start_rel_s: jax.Array,
                   batch_start_rel_stream_s: jax.Array,
@@ -256,7 +290,7 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
                   model: str, n_beams: int, reg_points: int = 16384,
                   reg_iterations: int = 8, max_frames_batch: int = 4,
                   min_points: int = 4, min_planarity: float = 0.35,
-                  reassociate_every: int = 1
+                  reassociate_every: int = 1, map_decay: float = 0.98
                   ) -> Tuple[OdometryState, jax.Array]:
     """Fused single-program variant: consume one packet batch; returns
     (new state, open_start_rel_s).
@@ -290,7 +324,7 @@ def odometry_step(state: OdometryState, pkts: jax.Array, calib: DeviceCalib,
             batch_start_rel_stream_s, track_rel_s, track_q, track_t,
             track_v, reg_points=reg_points, reg_iterations=reg_iterations,
             min_points=min_points, min_planarity=min_planarity,
-            reassociate_every=reassociate_every)
+            reassociate_every=reassociate_every, map_decay=map_decay)
     return state, open_start
 
 
@@ -317,7 +351,8 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
                   min_points: int, min_planarity: float,
                   use_pallas: bool = False, use_dense: bool = False,
                   reassociate_every: int = 1,
-                  sample_assembly: bool = False
+                  sample_assembly: bool = False,
+                  map_decay: float = 0.98
                   ) -> Tuple[OdometryState, jax.Array, SlotResults]:
     """Shared body of the batched odometry step; also returns per-slot
     results so callers (runtime.fullslam) can select keyframes without a
@@ -359,6 +394,24 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
     corr = se3.Pose(state.corr_q, state.corr_t)
     priors = jax.vmap(
         lambda q, t: se3.compose(corr, se3.Pose(q, t)))(ins.q, ins.t)
+    # Constant-velocity extrapolation of the correction translation (see
+    # OdometryState.corr_t_prev): each slot's prior advances the batch-end
+    # correction by its own time offset × the measured correction rate.
+    # Active only at batch periods ≥ 0.4 s: below that the staleness it
+    # corrects is smaller than the rate-estimate noise (corr carries
+    # ~5 cm of registration noise; rate noise = 2ε/dt), and short-batch
+    # paths measurably do better without it.  The extrapolation itself is
+    # clamped to ±1.5 m — covering any sane INS drift over one batch
+    # while bounding the damage of a glitched rate estimate.
+    abs_starts = batch_start_rel_stream_s + starts            # (F,)
+    dt_cc = state.corr_time - state.corr_time_prev
+    corr_rate = jnp.where(dt_cc > 0.4,
+                          (state.corr_t - state.corr_t_prev)
+                          / jnp.maximum(dt_cc, 1e-3), 0.0)
+    corr_rate = jnp.clip(corr_rate, -3.0, 3.0)                # m/s bound
+    extrap = (abs_starts - state.corr_time)[:, None] * corr_rate[None, :]
+    extrap = jnp.clip(extrap, -1.5, 1.5)
+    priors = se3.Pose(priors.q, priors.t + extrap)
 
     target = gicp.plane_grid_from(state.map_grid, min_points=min_points,
                                   min_planarity=min_planarity)
@@ -376,9 +429,16 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
                               iterations=reg_iterations,
                               use_pallas=use_pallas,
                               reassociate_every=reassociate_every)
+    # Lateral-observability gate (MIN_WALLISH_VOXELS): a ground-only
+    # target is xy-unconstrained and GN slides while still reporting
+    # thousands of matches (measured: frame 1 vs a single-scan sparse
+    # map landed 0.55 m off with a CLEAN prior).
+    mature = jnp.sum(target.usable
+                     & (jnp.abs(target.normal[:, 2]) < 0.7)
+                     ) >= MIN_WALLISH_VOXELS
     healthy = ((res.n_matched > 500)
                & jax.vmap(lambda t: jnp.all(jnp.isfinite(t)))(res.pose.t)
-               & state.have_map)                           # (F,)
+               & state.have_map & mature)                  # (F,)
     est_q = jnp.where(healthy[:, None], res.pose.q, priors.q)
     est_t = jnp.where(healthy[:, None], res.pose.t, priors.t)
 
@@ -398,14 +458,24 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
     upd = n_done > 0
     corr_q = jnp.where(upd, corr_all.q[last], state.corr_q)
     corr_t = jnp.where(upd, corr_all.t[last], state.corr_t)
+    # Shift the correction history (rate estimate for the next batch).
+    corr_t_prev = jnp.where(upd, state.corr_t, state.corr_t_prev)
+    corr_time_prev = jnp.where(upd, state.corr_time,
+                               state.corr_time_prev)
+    corr_time = jnp.where(upd, abs_starts[last], state.corr_time)
 
     # Merge all completed frames into the rolling map in one grid build.
+    # Capacity = the MAP's row budget, not a fixed 16384: a many-slot
+    # batch at 0.5 m voxels occupies far more than 16k distinct voxels,
+    # and a smaller scan grid silently drops the overflow (measured as a
+    # map-quality regression when the voxel size halved).
     pts_world = jax.vmap(lambda q, t, p: se3.apply(se3.Pose(q, t), p))(
         est_q, est_t, pts_local)
     scan_grid = vx.build_grid(pts_world.reshape(-1, 3), msk.reshape(-1),
                               state.map_grid.origin,
-                              state.map_grid.voxel_size, capacity=16384)
-    decay = jnp.power(jnp.asarray(0.98, jnp.float32),
+                              state.map_grid.voxel_size,
+                              capacity=state.map_grid.capacity)
+    decay = jnp.power(jnp.asarray(map_decay, jnp.float32),
                       n_done.astype(jnp.float32))
     decayed = state.map_grid._replace(count=state.map_grid.count * decay)
     merged = vx.merge_stats(decayed, scan_grid,
@@ -423,7 +493,9 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
     state = state._replace(
         map_grid=merged, corr_q=corr_q, corr_t=corr_t, traj_q=traj_q,
         traj_t=traj_t, traj_time=traj_time, n_frames=n + n_done,
-        have_map=state.have_map | upd)
+        have_map=state.have_map | upd,
+        corr_t_prev=corr_t_prev, corr_time=corr_time,
+        corr_time_prev=corr_time_prev)
     slots = SlotResults(done=slot_done, est_q=est_q, est_t=est_t,
                         start_rel_s=starts, pts_local=pts_local, msk=msk,
                         n_matched=res.n_matched)
@@ -433,7 +505,7 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
 @functools.partial(jax.jit, static_argnames=(
     "model", "n_beams", "reg_points", "reg_iterations", "max_frames_batch",
     "min_points", "min_planarity", "use_pallas", "use_dense",
-    "reassociate_every", "sample_assembly"))
+    "reassociate_every", "sample_assembly", "map_decay"))
 def odometry_step_batched(state: OdometryState, pkts: jax.Array,
                           calib: DeviceCalib, pkt_rel_s: jax.Array,
                           carry_start_rel_s: jax.Array,
@@ -446,7 +518,8 @@ def odometry_step_batched(state: OdometryState, pkts: jax.Array,
                           min_planarity: float = 0.35,
                           use_pallas: bool = False, use_dense: bool = False,
                           reassociate_every: int = 1,
-                          sample_assembly: bool = False
+                          sample_assembly: bool = False,
+                          map_decay: float = 0.98
                           ) -> Tuple[OdometryState, jax.Array]:
     """Throughput variant of `odometry_step`: ALL frame slots register in
     one vmapped GICP program against the batch-start map, then merge.
@@ -468,7 +541,7 @@ def odometry_step_batched(state: OdometryState, pkts: jax.Array,
         min_points=min_points, min_planarity=min_planarity,
         use_pallas=use_pallas, use_dense=use_dense,
         reassociate_every=reassociate_every,
-        sample_assembly=sample_assembly)
+        sample_assembly=sample_assembly, map_decay=map_decay)
     return state, open_start
 
 
@@ -502,7 +575,8 @@ class StreamingOdometry:
                  use_pallas: bool = False, use_dense: bool = False,
                  reassociate_every: int = 1,
                  sample_assembly: bool = None,
-                 frame_rate_hz: float = 10.0):
+                 frame_rate_hz: float = 10.0,
+                 map_decay: float = 0.98):
         self.calib = calib
         self.model = model
         # Revolution rate (rpm / 60): sizes frame slots per batch and the
@@ -518,6 +592,7 @@ class StreamingOdometry:
         self.use_pallas = use_pallas
         self.use_dense = use_dense
         self.reassociate_every = reassociate_every
+        self.map_decay = float(map_decay)
         # Gather-based assembly exists only for the batched path; default
         # it ON there (None -> follow `batched`).
         self.sample_assembly = (bool(batched) if sample_assembly is None
@@ -528,6 +603,9 @@ class StreamingOdometry:
                                 sample_assembly=self.sample_assembly)
         self._stream_t0_us: Optional[int] = None
         self._open_start_abs_us: Optional[float] = None
+        # Slot count override for the current feed (bootstrap-ramp
+        # batches use fewer slots than the steady batch; None = steady).
+        self._feed_slots: Optional[int] = None
         # Per-slot index scalars uploaded once (chained path).
         self._slot_idx = [jnp.asarray(k, jnp.int32)
                           for k in range(self.MAX_FRAMES_BATCH)]
@@ -609,7 +687,27 @@ class StreamingOdometry:
                         * self.frame_rate_hz * 1.2)
                     + 2 * self.MAX_FRAMES_BATCH + 16)
         self.ensure_capacity(-(-need_cap // 1024) * 1024)
-        tail = len(pkts) % batch
+        # BOOTSTRAP RAMP (stream head only): the first batch of a fresh
+        # stream registers against an EMPTY map, so every frame in it
+        # falls back to its INS prior — at 16384 packets that imprints
+        # ~9 s of raw INS drift into the rolling map, and all later
+        # registration faithfully tracks the drifted map (measured on the
+        # bench loop: ATE 0.33 m at batch 2048 vs 0.10 via the finalize
+        # graph alone).  Doubling batches (256, 512, … batch/2) bound the
+        # unregistered head to ~0.14 s and keep every later frame's
+        # within-batch prior error inside the ±1-voxel correspondence
+        # basin while the map is young.  Each ramp size compiles its own
+        # (smaller-slot) program — warmed by warmup_batched, shared via
+        # the persistent cache.
+        segments = []
+        off = 0
+        if self.batched and self._stream_t0_us is None:
+            b = 256
+            while b < batch and off + b <= len(pkts):
+                segments.append((off, b))
+                off += b
+                b *= 2
+        tail = (len(pkts) - off) % batch
         if tail:
             from veloslam_tpu.io import packets as pkmod
             pad = batch - tail
@@ -617,17 +715,23 @@ class StreamingOdometry:
                 [pkts, pkmod.idle_lidar_packets(pkts[-1], pad)])
             times_us = np.concatenate(
                 [times_us, np.full(pad, times_us[-1], np.int64)])
-        starts = list(range(0, len(pkts), batch))
-        next_dev = jax.device_put(pkts[starts[0]:starts[0] + batch]) \
-            if starts else None
-        for i, s in enumerate(starts):
+        segments += [(s, batch) for s in range(off, len(pkts), batch)]
+        next_dev = jax.device_put(pkts[segments[0][0]:sum(segments[0])]) \
+            if segments else None
+        for i, (s, n) in enumerate(segments):
             cur = next_dev
-            if i + 1 < len(starts):
-                s2 = starts[i + 1]
-                next_dev = jax.device_put(pkts[s2:s2 + batch])  # async H2D
-            t0, t1 = int(times_us[s]), int(times_us[s + batch - 1])
+            if i + 1 < len(segments):
+                s2, n2 = segments[i + 1]
+                next_dev = jax.device_put(pkts[s2:s2 + n2])  # async H2D
+            t0, t1 = int(times_us[s]), int(times_us[s + n - 1])
             w = track.window(t0, t1, anchor_us=t0)
-            self.feed(cur, times_us[s:s + batch], w)
+            self._feed_slots = (slots_for_batch(
+                self.model, n, frame_rate_hz=self.frame_rate_hz)
+                if n < batch else None)
+            try:
+                self.feed(cur, times_us[s:s + n], w)
+            finally:
+                self._feed_slots = None
 
     WINDOW_LEN = 64      # static INS-window length (pose samples)
 
@@ -679,10 +783,11 @@ class StreamingOdometry:
                 model=self.model, n_beams=self.n_beams,
                 reg_points=self.reg_points,
                 reg_iterations=self.reg_iterations,
-                max_frames_batch=self.MAX_FRAMES_BATCH,
+                max_frames_batch=self._feed_slots or self.MAX_FRAMES_BATCH,
                 use_pallas=self.use_pallas, use_dense=self.use_dense,
                 reassociate_every=self.reassociate_every,
-                sample_assembly=self.sample_assembly)
+                sample_assembly=self.sample_assembly,
+                map_decay=self.map_decay)
         elif self.fused:
             self.state, open_start = odometry_step(
                 self.state, jnp.asarray(pkts), self.calib, rel, carry_start,
@@ -691,7 +796,8 @@ class StreamingOdometry:
                 reg_points=self.reg_points,
                 reg_iterations=self.reg_iterations,
                 max_frames_batch=self.MAX_FRAMES_BATCH,
-                reassociate_every=self.reassociate_every)
+                reassociate_every=self.reassociate_every,
+                map_decay=self.map_decay)
         else:
             # Chained path: same per-batch cost as fused (measured), but
             # each piece compiles in seconds instead of minutes on the

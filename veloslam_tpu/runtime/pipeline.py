@@ -416,6 +416,7 @@ class SlamPipeline:
         with self.timers.stage("slam_batched"):
             eng = FullSlam(self.dcalib, model=sc.model,
                            n_beams=sc.n_lasers, voxel_size=rc.voxel_size,
+                           map_capacity=rc.rolling_map_capacity,
                            reg_points=rc.max_points,
                            reg_iterations=rc.max_iterations,
                            kf_capacity=gc.max_keyframes,
@@ -424,6 +425,7 @@ class SlamPipeline:
                            use_pallas=rc.use_pallas,
                            use_dense=rc.use_dense_index,
                            reassociate_every=rc.reassociate_every,
+                           map_decay=rc.map_decay,
                            frame_rate_hz=sc.rpm / 60.0)
             eng.run_device(pkts, times, self.track, batch=batch)
         return self._finalize_batched_engine(eng, defer_map=defer_map)
@@ -451,7 +453,7 @@ class SlamPipeline:
                 gn_iterations=gc.gn_iterations,
                 odom_info=gc.odom_edge_info,
                 closure_info=gc.closure_edge_info,
-                voxel_size=rc.voxel_size,
+                voxel_size=gc.verify_voxel_m,
                 capacity=rc.scan_voxel_capacity)
         with self.timers.stage("device_sweep_readback"):
             host = jax.tree.map(np.asarray, dev)
@@ -577,6 +579,7 @@ class SlamPipeline:
                 np.asarray(p, float), v)
         eng = FullSlam(self.dcalib, model=sc.model, n_beams=sc.n_lasers,
                        voxel_size=rc.voxel_size, reg_points=rc.max_points,
+                       map_capacity=rc.rolling_map_capacity,
                        reg_iterations=rc.max_iterations,
                        kf_capacity=gc.max_keyframes,
                        kf_dist_m=gc.keyframe_translation_m,
@@ -584,6 +587,7 @@ class SlamPipeline:
                        use_pallas=rc.use_pallas,
                        use_dense=rc.use_dense_index,
                        reassociate_every=rc.reassociate_every,
+                       map_decay=rc.map_decay,
                        frame_rate_hz=sc.rpm / 60.0)
         eng.run_device(seq["packets"], seq["pkt_times_us"], scratch.track,
                        batch=batch)
@@ -593,7 +597,7 @@ class SlamPipeline:
             max_candidates=gc.max_closure_candidates_per_sweep,
             use_scan_context=gc.use_scan_context,
             gn_iterations=gc.gn_iterations, odom_info=gc.odom_edge_info,
-            closure_info=gc.closure_edge_info, voxel_size=rc.voxel_size,
+            closure_info=gc.closure_edge_info, voxel_size=gc.verify_voxel_m,
             capacity=rc.scan_voxel_capacity)
         block(dev)
         # Post-readback host-path programs on production shapes:
@@ -733,6 +737,7 @@ class SlamPipeline:
             eng = FullSlam(self.dcalib, model=sc2.model,
                            n_beams=sc2.n_lasers,
                            voxel_size=rc2.voxel_size,
+                           map_capacity=rc2.rolling_map_capacity,
                            reg_points=rc2.max_points,
                            reg_iterations=rc2.max_iterations,
                            kf_capacity=gc2.max_keyframes,
@@ -741,6 +746,7 @@ class SlamPipeline:
                            use_pallas=rc2.use_pallas,
                            use_dense=rc2.use_dense_index,
                            reassociate_every=rc2.reassociate_every,
+                           map_decay=rc2.map_decay,
                            frame_rate_hz=sc2.rpm / 60.0)
             need = slots_for_batch(sc2.model, B,
                                    frame_rate_hz=sc2.rpm / 60.0)
@@ -1200,6 +1206,7 @@ class SlamPipeline:
 
     def _try_loop_closure(self) -> None:
         rc = self.cfg.registration
+        gc = self.cfg.graph
         new_p = self._closure_candidates()
         new = [(i, j) for i, j, _ in new_p]
         accepted = 0
@@ -1233,7 +1240,7 @@ class SlamPipeline:
             with self.timers.stage("loop_verify"):
                 measures = loopclosure.verify_closures_batch(
                     pi, mi, pj, mj, rel_priors,
-                    voxel_size=rc.voxel_size,
+                    voxel_size=gc.verify_voxel_m,
                     capacity=rc.scan_voxel_capacity)
             for (i, j), meas in zip(new, measures):
                 if meas is None:
