@@ -68,8 +68,25 @@ def main():
                    use_pallas=rc.use_pallas, use_dense=rc.use_dense_index,
                    reassociate_every=rc.reassociate_every,
                    frame_rate_hz=sc_.rpm / 60.0)
-    clock("stream_dispatch", lambda: eng.run_device(
-        pkts, times, pipe.track, batch=16384))
+    # Instrument the feed loop: time each device_put and each feed()
+    # dispatch separately (is the 169 s "dispatch" H2D, per-feed
+    # blocking, or compile?).
+    import veloslam_tpu.runtime.odometry as odmod
+    orig_feed = type(eng).feed
+    feed_times = []
+
+    def timed_feed(self, pk, ts, w):
+        t1 = time.perf_counter()
+        orig_feed(self, pk, ts, w)
+        feed_times.append(round(time.perf_counter() - t1, 3))
+
+    type(eng).feed = timed_feed
+    try:
+        clock("stream_dispatch", lambda: eng.run_device(
+            pkts, times, pipe.track, batch=16384))
+    finally:
+        type(eng).feed = orig_feed
+    T["per_feed_s"] = feed_times
     # NOTE: no sync here — production queues the sweep before any readback.
     dev = clock("finalize_queue", lambda: eng.finalize_device(
         min_score=gc.sc_min_score, radius=gc.loop_closure_radius_m,
@@ -111,6 +128,10 @@ def main():
     if pipe.graph.n_obs > 0:
         out = clock("graph_solve_landmarks",
                     lambda: pipe._solve_graph_landmarks(pipe.graph.arrays()))
+        # Steady-state cost (2nd call, same shapes): separates the
+        # first-call compile from the per-solve cost.
+        clock("graph_solve_landmarks_2nd",
+              lambda: pipe._solve_graph_landmarks(pipe.graph.arrays()))
         pipe.graph.update_from(
             np.asarray(out.q)[:pipe.graph.n_poses],
             np.asarray(out.t)[:pipe.graph.n_poses],

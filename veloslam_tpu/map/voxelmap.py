@@ -249,7 +249,11 @@ class VoxelMap:
         signs = (np.ones(K, np.float64) if signs is None
                  else np.asarray(signs, np.float64))
         origins = np.floor(np.asarray(t, np.float64)[:, :3] / vs) * vs
-        cap = self.cfg.voxels_per_patch
+        # A scan of P points occupies at most P voxels — capping the
+        # per-slot grid at P (not the patch capacity) halves the chunk
+        # readback at the production 8192-point keyframe scans, and the
+        # rebuild transfer is the finalize tail's largest slice.
+        cap = min(self.cfg.voxels_per_patch, int(pts.shape[1]))
         ch = _BATCH_CHUNK
         pts = np.asarray(pts, np.float32)
         msk = np.asarray(msk, bool)

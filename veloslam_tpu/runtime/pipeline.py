@@ -609,7 +609,7 @@ class SlamPipeline:
         block(_transform_build_chunk(                      # map rebuild
             zp, zm, zq, z3, z3,
             jnp.asarray(self.cfg.map.voxel_size, jnp.float32),
-            capacity=self.cfg.map.voxels_per_patch))
+            capacity=min(self.cfg.map.voxels_per_patch, P)))
         block(_transform_build_chunk(                      # landmark posts
             zp, zm, zq, z3, z3, jnp.asarray(0.5, jnp.float32),
             capacity=8192))
