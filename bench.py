@@ -228,7 +228,12 @@ def _slam_cfg():
                                         sc_min_score=0.55))
 
 
-def run_full_slam(duration_s=7.0, batch=16384, warm_s=None):
+def run_full_slam(duration_s=7.0, batch=4096, warm_s=None):
+    # batch=4096 (≈2.3 s of sensor data): within-batch prior error after
+    # the constant-velocity extrapolation is rate-noise × dt (~0.1 m/s ×
+    # dt), and at 9-second batches that reaches the 0.5 m correspondence
+    # basin; 2.3 s keeps it ~0.25 m with negligible dispatch overhead
+    # (bootstrap ramp covers the stream head).
     """End-to-end full SLAM: run_offline_batched + finalize on a loop
     drive.  ONE measured run; the jit cache is warmed READBACK-FREE first
     (SlamPipeline.warmup_batched) — an ordinary warm run would read its

@@ -400,9 +400,12 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
     # Active only at batch periods ≥ 0.4 s: below that the staleness it
     # corrects is smaller than the rate-estimate noise (corr carries
     # ~5 cm of registration noise; rate noise = 2ε/dt), and short-batch
-    # paths measurably do better without it.  The extrapolation itself is
-    # clamped to ±1.5 m — covering any sane INS drift over one batch
-    # while bounding the damage of a glitched rate estimate.
+    # paths measurably do better without it.  The RATE is clamped
+    # (±3 m/s — any sane INS drift), which bounds the extrapolation to
+    # 3·dt; an absolute clamp here would silently cap the correction on
+    # long batches (measured: a ±1.5 m clamp at 1 m/s drift left
+    # late-batch priors ~7 m wrong on 9-second batches and the 20 s
+    # bench drive collapsed to 3.6 m ATE).
     abs_starts = batch_start_rel_stream_s + starts            # (F,)
     dt_cc = state.corr_time - state.corr_time_prev
     corr_rate = jnp.where(dt_cc > 0.4,
@@ -410,7 +413,6 @@ def _batched_core(state: OdometryState, pkts: jax.Array,
                           / jnp.maximum(dt_cc, 1e-3), 0.0)
     corr_rate = jnp.clip(corr_rate, -3.0, 3.0)                # m/s bound
     extrap = (abs_starts - state.corr_time)[:, None] * corr_rate[None, :]
-    extrap = jnp.clip(extrap, -1.5, 1.5)
     priors = se3.Pose(priors.q, priors.t + extrap)
 
     target = gicp.plane_grid_from(state.map_grid, min_points=min_points,

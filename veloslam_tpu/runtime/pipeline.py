@@ -444,11 +444,19 @@ class SlamPipeline:
         # transfer (VERDICT r4 #3: the old "device_finalize: 0.0" line
         # misattributed ~2 s into "readback").
         with self.timers.stage("device_finalize_queue"):
+            # Scale the verification budget with the drive: a fixed
+            # 8-candidate sweep on a 100+-keyframe multi-lap drive leaves
+            # most revisits unclosed and long graph stretches
+            # unconstrained (measured: 7 closures / 103 keyframes → ATE
+            # 3.6 m on the 20 s bench drive).  The ring capacity is the
+            # host-known proxy for drive length (shapes stay bucketed).
             dev = eng.finalize_device(
                 min_score=gc.sc_min_score,
                 radius=gc.loop_closure_radius_m,
                 min_gap=gc.loop_closure_min_gap,
-                max_candidates=gc.max_closure_candidates_per_sweep,
+                max_candidates=min(max(
+                    gc.max_closure_candidates_per_sweep,
+                    eng.ring.capacity // 8), 64),
                 use_scan_context=gc.use_scan_context,
                 gn_iterations=gc.gn_iterations,
                 odom_info=gc.odom_edge_info,
@@ -594,7 +602,8 @@ class SlamPipeline:
         dev = eng.finalize_device(
             min_score=gc.sc_min_score, radius=gc.loop_closure_radius_m,
             min_gap=gc.loop_closure_min_gap,
-            max_candidates=gc.max_closure_candidates_per_sweep,
+            max_candidates=min(max(gc.max_closure_candidates_per_sweep,
+                                   eng.ring.capacity // 8), 64),
             use_scan_context=gc.use_scan_context,
             gn_iterations=gc.gn_iterations, odom_info=gc.odom_edge_info,
             closure_info=gc.closure_edge_info, voxel_size=gc.verify_voxel_m,
