@@ -688,6 +688,9 @@ class StreamingOdometry:
         need_cap = (int(len(pkts) / packets_per_second(self.model)
                         * self.frame_rate_hz * 1.2)
                     + 2 * self.MAX_FRAMES_BATCH + 16)
+        # Host-known frame estimate for this recording — sizes the
+        # end-of-stream closure-sweep budget (runtime/pipeline).
+        self._est_frames = need_cap
         self.ensure_capacity(-(-need_cap // 1024) * 1024)
         # BOOTSTRAP RAMP (stream head only): the first batch of a fresh
         # stream registers against an EMPTY map, so every frame in it

@@ -430,6 +430,20 @@ class SlamPipeline:
             eng.run_device(pkts, times, self.track, batch=batch)
         return self._finalize_batched_engine(eng, defer_map=defer_map)
 
+
+    @staticmethod
+    def _sweep_budget(eng, floor: int) -> int:
+        """End-of-stream closure-verification budget: ~half the estimated
+        frame count (≈ 2 candidates per keyframe at the default 2 m
+        spacing), power-of-two bucketed so nearby recording lengths share
+        one compiled sweep, capped at 256 (a 3-lap 100-keyframe drive
+        accepted 114 closures; a fixed 8-candidate sweep left it at 7 and
+        3.6 m ATE).  Falls back to the ring capacity when the engine has
+        no recording estimate (live mode)."""
+        est = getattr(eng, "_est_frames", None) or eng.ring.capacity
+        b = 1 << max(int(np.ceil(np.log2(max(est // 2, 1)))), 0)
+        return int(min(max(floor, b), 256))
+
     def _finalize_batched_engine(self, eng, defer_map: bool = False) -> Dict:
         """Post-stream tail shared by run_offline_batched and the fast
         live mode: queue the device sweep, read everything back once,
@@ -454,9 +468,8 @@ class SlamPipeline:
                 min_score=gc.sc_min_score,
                 radius=gc.loop_closure_radius_m,
                 min_gap=gc.loop_closure_min_gap,
-                max_candidates=min(max(
-                    gc.max_closure_candidates_per_sweep,
-                    eng.ring.capacity // 8), 64),
+                max_candidates=self._sweep_budget(
+                    eng, gc.max_closure_candidates_per_sweep),
                 use_scan_context=gc.use_scan_context,
                 gn_iterations=gc.gn_iterations,
                 odom_info=gc.odom_edge_info,
@@ -602,8 +615,8 @@ class SlamPipeline:
         dev = eng.finalize_device(
             min_score=gc.sc_min_score, radius=gc.loop_closure_radius_m,
             min_gap=gc.loop_closure_min_gap,
-            max_candidates=min(max(gc.max_closure_candidates_per_sweep,
-                                   eng.ring.capacity // 8), 64),
+            max_candidates=self._sweep_budget(
+                eng, gc.max_closure_candidates_per_sweep),
             use_scan_context=gc.use_scan_context,
             gn_iterations=gc.gn_iterations, odom_info=gc.odom_edge_info,
             closure_info=gc.closure_edge_info, voxel_size=gc.verify_voxel_m,
