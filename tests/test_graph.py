@@ -343,6 +343,7 @@ def test_verify_closures_batch_matches_single():
                                atol=0.08)
 
 
+@pytest.mark.slow
 def test_verify_closure_aliasing_gates():
     """The self-normalized observability gate + reciprocal tie-break must
     reject perceptually aliased matches (tight fits onto ground/facade
@@ -425,6 +426,7 @@ def test_pcg_matches_dense_solver():
     assert float(st.final_cost) < 1.01 * float(ds.final_cost) + 1e-6
 
 
+@pytest.mark.slow
 def test_pcg_landmarks_matches_dense_schur():
     """The matrix-free landmark-Schur PCG must agree with the dense Schur
     solver on the same poses+landmarks problem — the correctness gate for

@@ -178,17 +178,29 @@ class DistributedSlamSession(SlamPipeline):
     def _solve_graph(self, arrays):
         """Distributed Gauss-Newton over the mesh: per-shard assembly,
         psum'd normal equations, replicated solve (BASELINE configs[3] —
-        the production session path, not just a kernel demo)."""
+        the production session path, not just a kernel demo).
+
+        Cropped to the occupied power-of-two buckets like the
+        single-process path (_crop_graph): the replicated Schur cost
+        scales with the SHAPE, not the live counts — at the full
+        (K=1024, M=1024) allocation the coupling contraction alone is
+        ~116 GFLOP per GN iteration on every device.  Bucket floors are
+        mesh-divisible (128/64/512/512, all multiples of 8)."""
+        Kc, cropped, _ = self._crop_graph(
+            arrays, self.graph.n_poses, 0, self.graph.n_edges, 0)
         out, _ = sharded.solve_graph_sharded(
-            self.mesh, self._graph_device_arrays(arrays),
-            max_poses=self.graph.K,
+            self.mesh, self._graph_device_arrays(cropped),
+            max_poses=Kc,
             iterations=self.cfg.graph.gn_iterations)
         return out
 
     def _solve_graph_landmarks(self, arrays):
+        Kc, cropped, Mc = self._crop_graph(
+            arrays, self.graph.n_poses, self.graph.n_landmarks,
+            self.graph.n_edges, self.graph.n_obs)
         out, _ = sharded.solve_graph_sharded(
-            self.mesh, self._graph_device_arrays(arrays),
-            max_poses=self.graph.K, max_landmarks=self.graph.M,
+            self.mesh, self._graph_device_arrays(cropped),
+            max_poses=Kc, max_landmarks=Mc,
             iterations=self.cfg.graph.gn_iterations, with_landmarks=True)
         return out
 
