@@ -91,7 +91,8 @@ def main():
     dev = clock("finalize_queue", lambda: eng.finalize_device(
         min_score=gc.sc_min_score, radius=gc.loop_closure_radius_m,
         min_gap=gc.loop_closure_min_gap,
-        max_candidates=gc.max_closure_candidates_per_sweep,
+        max_candidates=pipe._sweep_budget(
+            eng, gc.max_closure_candidates_per_sweep),
         use_scan_context=gc.use_scan_context,
         gn_iterations=gc.gn_iterations, odom_info=gc.odom_edge_info,
         closure_info=gc.closure_edge_info, voxel_size=rc.voxel_size,

@@ -117,16 +117,49 @@ def _host_voxel_stats(pts: np.ndarray, mask: np.ndarray,
 def extract_scan_posts_batch(pts: np.ndarray, mask: np.ndarray,
                              voxel_size: float = 0.5,
                              capacity: int = 8192) -> List[np.ndarray]:
-    """Per-scan post detection for K stacked scans — host-only."""
+    """Per-scan post detection for K stacked scans — host-only.
+
+    One fused voxel-stats pass over all K scans (scan index folded into
+    the voxel key) instead of K separate np.unique/np.add.at passes —
+    the per-keyframe loop was ~1 s of the finalize tail at 100
+    keyframes; the fused pass is ~100 ms for the same work."""
+    K = len(pts)
+    if K == 0:
+        return []
+    half = 512
+    p_all = np.asarray(pts, np.float32).reshape(-1, 3)
+    m_all = np.asarray(mask, bool).reshape(-1)
+    scan = np.repeat(np.arange(K, dtype=np.int64), pts.shape[1])
+    g = np.floor(p_all / np.float32(voxel_size)).astype(np.int64) + half
+    ok = m_all & np.all((g >= 0) & (g < 1024), axis=1)
+    p, g, scan = p_all[ok], g[ok], scan[ok]
+    keys = (scan << 30) | (g[:, 0] << 20) | (g[:, 1] << 10) | g[:, 2]
+    uk, inv, count = np.unique(keys, return_inverse=True,
+                               return_counts=True)
+    V = len(uk)
+    s1 = np.zeros((V, 3))
+    np.add.at(s1, inv, p)
+    mean = s1 / count[:, None]
+    d = p - mean[inv]
+    s2 = np.zeros((V, 3, 3))
+    np.add.at(s2, inv, d[:, :, None] * d[:, None, :])
+    cov = s2 / count[:, None, None]
+    coords = np.stack([(uk >> 20) & 1023, (uk >> 10) & 1023,
+                       uk & 1023], -1) - half
+    vk = (uk >> 30).astype(np.int64)            # owning scan per voxel
+    count = count.astype(np.float32)
+    mean = mean.astype(np.float32)
+    cov = cov.astype(np.float32)
+
     out: List[np.ndarray] = []
-    for k in range(len(pts)):
-        coords, count, mean, cov = _host_voxel_stats(
-            np.asarray(pts[k], np.float32), np.asarray(mask[k], bool),
-            voxel_size)
-        if len(coords) == 0:
+    starts = np.searchsorted(vk, np.arange(K + 1))
+    for k in range(K):
+        sl = slice(starts[k], starts[k + 1])
+        if sl.start == sl.stop:
             out.append(np.zeros((0, 3)))
             continue
-        posts = extract_posts(coords, count, mean, cov, voxel_size)
+        posts = extract_posts(coords[sl], count[sl], mean[sl], cov[sl],
+                              voxel_size)
         if len(posts) == 0:
             out.append(np.zeros((0, 3)))
         else:
