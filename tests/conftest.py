@@ -17,3 +17,20 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Cap per-process accumulation across the full suite: running all
+    ~180 tests in one process piles up compiled CPU executables until a
+    late XLA:CPU compile segfaults (reproducibly, at ~test 130; any
+    subset of the suite passes).  Dropping the compiled-program caches
+    at module boundaries keeps within-module reuse (where nearly all
+    sharing is) and bounds the footprint."""
+    yield
+    import jax
+
+    jax.clear_caches()
