@@ -501,11 +501,16 @@ def main():
 
             def _alarm(signum, frame):
                 raise TimeoutError(
-                    f"full-slam stage exceeded budget "
-                    f"({args.full_budget_s:.0f}s)")
+                    "full-slam stage exceeded its sub-budget (min of "
+                    f"remaining and 480 s of --full-budget-s "
+                    f"{args.full_budget_s:.0f})")
 
             old = signal.signal(signal.SIGALRM, _alarm)
-            signal.alarm(max(int(budget.remaining()), 1))
+            # Sub-budget: on an aged tunnel session (dispatch can degrade
+            # to ~30 s/program, ROADMAP perf notes) the full-SLAM stage
+            # alone could eat the whole budget and the live sweep would
+            # be skipped; cap it so every stage leaves a record.
+            signal.alarm(max(min(int(budget.remaining()), 480), 1))
             try:
                 extra["full_slam"] = run_full_slam(
                     duration_s=args.full_duration_s)
